@@ -1,11 +1,17 @@
 """Small dense linear-algebra primitives for the Riccati recursion.
 
-These are the TPU-native equivalents of the reference's Eigen LLT +
-triangular-solve kernels (reference: sip_optimal_control/lqr.cpp:473-549).
-Shapes are tiny (n, m <= ~32) and *static*; throughput comes from vmapping
-thousands of scenarios over the leading batch axis, which XLA lowers to
-lane-parallel VPU code.  Failure is reported as data (bool), never as an
-exception — a batched solver cannot abort on one bad scenario.
+TPU-native equivalents of the reference's Eigen LLT + triangular solves
+(reference: sip_optimal_control/lqr.cpp:473-549).  Stage matrices are tiny
+(n, m <= ~32) with *static* shapes, and throughput comes from batching
+thousands of scenarios — so instead of generic LAPACK-style kernels (slow to
+compile on XLA:CPU, and lane-starved on TPU for 4x4 blocks) we fully unroll
+the factorizations at trace time.  Every unrolled op is an elementwise op
+over the batch, which XLA fuses into lane-parallel VPU code: the classic
+"many small problems on SIMD" layout.
+
+Failure is reported as data (bool), never as an exception — a batched solver
+cannot abort on one bad scenario.  Non-PD inputs yield NaNs in the factor,
+detected from the diagonal like Eigen's llt.info() check.
 """
 
 from __future__ import annotations
@@ -16,29 +22,85 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+# Above this size the unrolled graphs get large; fall back to lax.linalg.
+_UNROLL_LIMIT = 24
+
+
+def _chol_unrolled(a: jax.Array) -> jax.Array:
+    """Unrolled lower Cholesky over the last two (static) dims."""
+    n = a.shape[-1]
+    col = [[None] * n for _ in range(n)]   # col[j][i] = L[i, j], i >= j
+    for j in range(n):
+        s = a[..., j, j]
+        for k in range(j):
+            s = s - col[k][j] * col[k][j]
+        d = jnp.sqrt(s)
+        col[j][j] = d
+        inv_d = 1.0 / d
+        for i in range(j + 1, n):
+            s = a[..., i, j]
+            for k in range(j):
+                s = s - col[k][i] * col[k][j]
+            col[j][i] = s * inv_d
+    zero = jnp.zeros_like(a[..., 0, 0])
+    rows = [jnp.stack([col[j][i] if j <= i else zero for j in range(n)],
+                      axis=-1) for i in range(n)]
+    return jnp.stack(rows, axis=-2)
+
+
+def _tri_solve_unrolled(l: jax.Array, b: jax.Array,
+                        transpose: bool) -> jax.Array:
+    """Solve L x = b (or L^T x = b) by unrolled substitution.
+
+    b: [..., n] or [..., n, k]; L lower triangular [..., n, n].
+    """
+    n = l.shape[-1]
+    matrix_rhs = b.ndim == l.ndim
+
+    def lij(i, j):
+        v = l[..., i, j]
+        return v[..., None] if matrix_rhs else v
+
+    x = [None] * n
+    order = range(n - 1, -1, -1) if transpose else range(n)
+    for i in order:
+        s = b[..., i, :] if matrix_rhs else b[..., i]
+        ks = range(i + 1, n) if transpose else range(i)
+        for k in ks:
+            coeff = lij(k, i) if transpose else lij(i, k)
+            s = s - coeff * x[k]
+        x[i] = s / lij(i, i)
+    return jnp.stack(x, axis=-2 if matrix_rhs else -1)
+
 
 def cholesky_with_ok(a: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """Lower Cholesky factor plus a validity flag.
-
-    jnp.linalg.cholesky yields NaNs for non-PD inputs; we detect failure from
-    the factor diagonal, mirroring the reference's Eigen::LLT info() check
-    (reference: lqr.cpp:505-508, 697-700).
-    """
-    l = jnp.linalg.cholesky(a)
+    """Lower Cholesky factor plus a validity flag (cf. Eigen::LLT info(),
+    reference: lqr.cpp:505-508, 697-700)."""
+    n = a.shape[-1]
+    if n <= _UNROLL_LIMIT:
+        l = _chol_unrolled(a)
+    else:
+        l = jnp.linalg.cholesky(a)
     diag = jnp.diagonal(l, axis1=-2, axis2=-1)
     ok = jnp.all(jnp.isfinite(diag) & (diag > 0), axis=-1)
     return l, ok
 
 
-def cho_solve(l: jax.Array, b: jax.Array) -> jax.Array:
-    """Solve (L L^T) x = b given lower factor L.  b: [..., n] or [..., n, k]."""
+def tri_solve(l: jax.Array, b: jax.Array, transpose: bool = False):
+    n = l.shape[-1]
+    if n <= _UNROLL_LIMIT:
+        return _tri_solve_unrolled(l, b, transpose)
     vec = b.ndim == l.ndim - 1
     if vec:
         b = b[..., None]
-    x = lax.linalg.triangular_solve(l, b, left_side=True, lower=True)
-    x = lax.linalg.triangular_solve(l, x, left_side=True, lower=True,
-                                    transpose_a=True)
+    x = lax.linalg.triangular_solve(l, b, left_side=True, lower=True,
+                                    transpose_a=transpose)
     return x[..., 0] if vec else x
+
+
+def cho_solve(l: jax.Array, b: jax.Array) -> jax.Array:
+    """Solve (L L^T) x = b given lower factor L.  b: [..., n] or [..., n, k]."""
+    return tri_solve(l, tri_solve(l, b, transpose=False), transpose=True)
 
 
 def cho_inverse(l: jax.Array) -> jax.Array:

@@ -115,14 +115,23 @@ def dense_kkt_solve(data, topology):
     return x, u, y
 
 
+
+def run_solve(data, sched):
+    """One jitted factor+solve+residual round trip."""
+    @jax.jit
+    def go(d):
+        sol, status = lqr_factor_solve(d, sched)
+        return sol, status, lqr_residual_norm(d, sol, sched)
+    return go(data)
+
 def test_chain_residual():
     rng = np.random.default_rng(0)
     data = make_chain_problem(rng, n=3, m=2, T=8)
     topo = Topology.chain(8)
     sched = compile_topology(topo)
-    sol, status = lqr_factor_solve(data, sched)
+    sol, status, res = run_solve(data, sched)
     assert int(status) == FactorStatus.SUCCESS
-    assert float(lqr_residual_norm(data, sol, sched)) < 1e-12
+    assert float(res) < 1e-12
 
 
 def test_chain_matches_dense_kkt():
@@ -131,7 +140,7 @@ def test_chain_matches_dense_kkt():
     data = make_chain_problem(rng, n=4, m=2, T=T)
     topo = Topology.chain(T)
     sched = compile_topology(topo)
-    sol, status = lqr_factor_solve(data, sched)
+    sol, status, _ = run_solve(data, sched)
     assert int(status) == FactorStatus.SUCCESS
     x, u, y = dense_kkt_solve(data, topo)
     np.testing.assert_allclose(np.asarray(sol.x), x, atol=1e-10)
@@ -145,9 +154,9 @@ def test_branching_tree_residual_and_dense():
     topo = Topology.tree(0, [0, 0, 1, 1], [1, 2, 3, 4])
     sched = compile_topology(topo)
     data = make_tree_problem(rng, topo, n=3, m=2)
-    sol, status = lqr_factor_solve(data, sched)
+    sol, status, res = run_solve(data, sched)
     assert int(status) == FactorStatus.SUCCESS
-    assert float(lqr_residual_norm(data, sol, sched)) < 1e-12
+    assert float(res) < 1e-12
     x, u, y = dense_kkt_solve(data, topo)
     np.testing.assert_allclose(np.asarray(sol.x), x, atol=1e-10)
     np.testing.assert_allclose(np.asarray(sol.u), u, atol=1e-10)
@@ -160,9 +169,9 @@ def test_shallow_wide_tree():
     topo = Topology.tree(0, [0] * E, list(range(1, E + 1)))
     sched = compile_topology(topo)
     data = make_tree_problem(rng, topo, n=3, m=1)
-    sol, status = lqr_factor_solve(data, sched)
+    sol, status, res = run_solve(data, sched)
     assert int(status) == FactorStatus.SUCCESS
-    assert float(lqr_residual_norm(data, sol, sched)) < 1e-12
+    assert float(res) < 1e-12
 
 
 def test_binary_tree():
@@ -172,9 +181,9 @@ def test_binary_tree():
     topo = Topology.tree(0, parents, list(range(1, E + 1)))
     sched = compile_topology(topo)
     data = make_tree_problem(rng, topo, n=2, m=2)
-    sol, status = lqr_factor_solve(data, sched)
+    sol, status, res = run_solve(data, sched)
     assert int(status) == FactorStatus.SUCCESS
-    assert float(lqr_residual_norm(data, sol, sched)) < 1e-12
+    assert float(res) < 1e-12
     x, u, y = dense_kkt_solve(data, topo)
     np.testing.assert_allclose(np.asarray(sol.x), x, atol=1e-10)
 
@@ -187,8 +196,8 @@ def test_invalid_delta_status():
                          for f in data.__dataclass_fields__.values()},
                       "delta": data.delta.at[T, 0].set(0.0)})
     sched = compile_topology(Topology.chain(T))
-    fact = lqr_factor(data, sched)
-    assert int(fact.status) == FactorStatus.INVALID_DELTA
+    status = jax.jit(lambda d: lqr_factor(d, sched).status)(data)
+    assert int(status) == FactorStatus.INVALID_DELTA
 
 
 def test_f_factorization_failure_status():
@@ -202,8 +211,8 @@ def test_f_factorization_failure_status():
         M=jnp.zeros((1, 1, 1)), R=jnp.asarray([[[1.0]]]),
         r=jnp.zeros((1, 1)))
     sched = compile_topology(Topology.chain(1))
-    fact = lqr_factor(data, sched)
-    assert int(fact.status) == FactorStatus.F_FACTORIZATION_FAILURE
+    status = jax.jit(lambda d: lqr_factor(d, sched).status)(data)
+    assert int(status) == FactorStatus.F_FACTORIZATION_FAILURE
 
 
 def test_g_factorization_failure_status():
@@ -217,8 +226,8 @@ def test_g_factorization_failure_status():
         M=jnp.zeros((1, 1, 1)), R=jnp.asarray([[[-1.0]]]),
         r=jnp.zeros((1, 1)))
     sched = compile_topology(Topology.chain(1))
-    fact = lqr_factor(data, sched)
-    assert int(fact.status) == FactorStatus.G_FACTORIZATION_FAILURE
+    status = jax.jit(lambda d: lqr_factor(d, sched).status)(data)
+    assert int(status) == FactorStatus.G_FACTORIZATION_FAILURE
 
 
 def test_variable_dimensions_padded():
@@ -234,10 +243,10 @@ def test_variable_dimensions_padded():
                       node_c_dims=(0,) * 5, node_g_dims=(0,) * 5,
                       edge_c_dims=(0,) * 4, edge_g_dims=(0,) * 4)
     data = make_tree_problem(rng, topo, n=3, m=2)
-    padded = pad_lqr_data(data, dims, sched)
-    sol, status = lqr_factor_solve(padded, sched)
+    padded = jax.jit(lambda d: pad_lqr_data(d, dims, sched))(data)
+    sol, status, res = run_solve(padded, sched)
     assert int(status) == FactorStatus.SUCCESS
-    assert float(lqr_residual_norm(padded, sol, sched)) < 1e-12
+    assert float(res) < 1e-12
     # dead entries must be exactly zero
     for i, d in enumerate(state_dims):
         assert np.all(np.asarray(sol.x)[i, d:] == 0.0)
@@ -256,9 +265,10 @@ def test_vmap_batching_matches_loop():
     sched = compile_topology(topo)
     batch = [make_chain_problem(rng, 3, 2, T) for _ in range(4)]
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batch)
-    vsol, vstatus = jax.vmap(lambda d: lqr_factor_solve(d, sched))(stacked)
+    vsol, vstatus = jax.jit(
+        jax.vmap(lambda d: lqr_factor_solve(d, sched)))(stacked)
     for b, data in enumerate(batch):
-        sol, _ = lqr_factor_solve(data, sched)
+        sol, _, _ = run_solve(data, sched)
         np.testing.assert_allclose(np.asarray(vsol.x)[b], np.asarray(sol.x),
                                    atol=1e-12)
         np.testing.assert_allclose(np.asarray(vsol.u)[b], np.asarray(sol.u),
@@ -271,11 +281,16 @@ def test_factor_idempotent_reuse():
     rng = np.random.default_rng(8)
     data = make_chain_problem(rng, 2, 1, 4)
     sched = compile_topology(Topology.chain(4))
-    fact = lqr_factor(data, sched)
-    s1 = lqr_solve(data, fact, sched)
-    s2 = lqr_solve(data, fact, sched)
+    @jax.jit
+    def go(d):
+        fact = lqr_factor(d, sched)
+        s1 = lqr_solve(d, fact, sched)
+        s2 = lqr_solve(d, fact, sched)
+        return s1, s2, lqr_residual_norm(d, s2, sched)
+
+    s1, s2, res = go(data)
     np.testing.assert_array_equal(np.asarray(s1.x), np.asarray(s2.x))
-    assert float(lqr_residual_norm(data, s2, sched)) < 1e-12
+    assert float(res) < 1e-12
 
 
 def test_jit_compiles():
@@ -283,6 +298,5 @@ def test_jit_compiles():
     T = 10
     data = make_chain_problem(rng, 4, 2, T)
     sched = compile_topology(Topology.chain(T))
-    f = jax.jit(lambda d: lqr_factor_solve(d, sched))
-    sol, status = f(data)
-    assert float(lqr_residual_norm(data, sol, sched)) < 1e-11
+    sol, status, res = run_solve(data, sched)
+    assert float(res) < 1e-11
