@@ -1,0 +1,73 @@
+"""Solver settings and statuses.
+
+The reference's sip::Settings is only visible through its call sites
+(reference: tests/variable_dimensions_test.cpp:18-25, 428-432:
+max_iterations, line_search.use_filter_line_search, logging.print_*); the
+solver itself is external, so this is a from-scratch design: a slack-based,
+dual-regularized (proximal) barrier interior-point method whose Newton-KKT
+matrix is exactly the operator of ops/kkt.py:
+
+    K = [[H + r1, C^T, G^T], [C, -r2, 0], [G, 0, -(w + r3)]],  w = s/z.
+
+All fields are static at trace time (frozen dataclass hashed into the jit
+key).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+
+class SIPStatus(enum.IntEnum):
+    SOLVED = 0
+    MAX_ITERATIONS = 1
+    FACTORIZATION_FAILURE = 2
+    # internal sentinel while iterating
+    RUNNING = 99
+
+
+@dataclasses.dataclass(frozen=True)
+class LineSearchSettings:
+    use_filter_line_search: bool = False   # falls back to merit in this build
+    max_steps: int = 25
+    backtrack: float = 0.5
+    eta: float = 1e-6          # Armijo slope fraction
+    nu_min: float = 1.0        # merit penalty floor
+    nu_rho: float = 0.1        # penalty margin: nu >= D/((1-rho) theta)
+
+
+@dataclasses.dataclass(frozen=True)
+class LoggingSettings:
+    print_logs: bool = False
+    print_line_search_logs: bool = False
+    print_search_direction_logs: bool = False
+    print_derivative_check_logs: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class Settings:
+    max_iterations: int = 60
+    tol: float = 1e-8
+    # barrier schedule (monotone Fiacco-McCormick)
+    mu_init: float = 1e-1
+    mu_min: float = 1e-13
+    kappa_mu: float = 0.2      # linear decrease factor
+    theta_mu: float = 1.5      # superlinear decrease power
+    kappa_eps: float = 10.0    # barrier subproblem tolerance = kappa_eps*mu
+    tau_min: float = 0.99      # fraction-to-boundary floor
+    # regularization: r2 = r3 = gamma_reg*mu + reg_floor (dual prox);
+    # r1 = prox_reg + bound weights (primal prox).
+    gamma_reg: float = 1e-2
+    reg_floor: float = 1e-9
+    prox_reg: float = 1e-8
+    max_factor_retries: int = 3
+    retry_scale: float = 100.0
+    # safeguards
+    kappa_sigma: float = 1e10  # z-reset corridor around mu/s
+    bound_push: float = 1e-2   # initial interior push for bounded variables
+    # Absolute slack floor.  0 disables: the fraction-to-boundary rule keeps
+    # s > 0, and any positive floor puts a floor under the g+s residual.
+    slack_min: float = 0.0
+    line_search: LineSearchSettings = LineSearchSettings()
+    logging: LoggingSettings = LoggingSettings()

@@ -1,0 +1,545 @@
+"""SIP-style interior-point solver for stagewise NLPs — built from scratch.
+
+The reference delegates the outer loop to the external `@sip//sip` library,
+visible only through its callback interface (reference:
+sip_optimal_control.cpp:182-208): factor(w, r1, r2, r3), solve(b, sol), the
+K/H/C/G matvec oracles, model_callback with `new_x` caching, box bounds,
+residual scaling, and warm-startable (x, y) state.  This module implements
+that solver as a single jitted `lax.while_loop`, TPU-first: no host control
+flow, per-scenario statuses as data, batching via `jax.vmap` over the whole
+solve.
+
+Method: slack-based primal-dual barrier with proximal (dual) regularization
+— the scheme the regularized KKT operator of ops/kkt.py is designed for
+(cf. PAPERS.md: "Dual-Regularized Riccati Recursions for Interior-Point
+Optimal Control", arXiv 2509.16370):
+
+  minimize f(v)  s.t.  c(v) = 0,  g(v) + s = 0,  s >= 0,  lb <= v <= ub,
+
+with v = (x nodes, u edges, theta).  Each iteration solves
+
+  [[H + r1, C^T, G^T], [C, -r2, 0], [G, 0, -(w + r3)]] (dv, dy, dz) = b,
+
+with w = s / z (slack-eliminated primal-dual barrier row), r1 = prox +
+bound-barrier diagonal zl/(v-lb) + zu/(ub-v) (bounds live on the primal
+diagonal exactly as the reference's r1 channel implies), r2 = r3 = O(mu)
+dual proximal regularization (this is what keeps the tree-LQR reduction
+unconditionally factorizable).  Steps are globalized by a fraction-to-
+boundary rule plus an Armijo backtracking line search on the barrier-merit
+function; mu follows a monotone Fiacco-McCormick schedule.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..types import Dimensions, TopologySchedule
+from ..ops.kkt import (ConstraintMasks, KKTVector, Regularizations,
+                       StageModelData, apply_CT, apply_G, apply_GT,
+                       kkt_factor, kkt_solve, zero_kkt_vector)
+from .settings import Settings, SIPStatus
+
+_EPS = 1e-300
+
+
+# ---------------------------------------------------------------------------
+# variable containers
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Primal:
+    """Primal variables: node states, edge controls, global theta."""
+
+    x: jax.Array      # [N, n]
+    u: jax.Array      # [E, m]
+    theta: jax.Array  # [p]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class YVec:
+    """Equality (y) space: root+dynamics rows per node, node-c, edge-c rows.
+
+    Flat layout equivalent (reference: types.cpp:43-53):
+    [dyn_0, node_c_0, ..., dyn_E, node_c_E, edge_c_0, ...]."""
+
+    dyn: jax.Array    # [N, n]
+    nc: jax.Array     # [N, cn]
+    ec: jax.Array     # [E, ce]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ZVec:
+    """Inequality (z) space (reference layout: types.cpp:55-63)."""
+
+    n: jax.Array      # [N, gn]
+    e: jax.Array      # [E, ge]
+
+
+def _tmap(f, *trees):
+    return jax.tree.map(f, *trees)
+
+
+def _tsum(tree) -> jax.Array:
+    return sum(jnp.sum(l) for l in jax.tree.leaves(tree))
+
+
+def _tinf(tree) -> jax.Array:
+    leaves = [jnp.max(jnp.abs(l), initial=0.0) for l in jax.tree.leaves(tree)]
+    return jnp.max(jnp.stack(leaves)) if leaves else jnp.asarray(0.0)
+
+
+def _tdot(a, b) -> jax.Array:
+    return sum(jnp.sum(x * y) for x, y in
+               zip(jax.tree.leaves(a), jax.tree.leaves(b)))
+
+
+class ModelEval(NamedTuple):
+    """Everything the IPM needs at the current iterate.
+
+    Mirrors the reference's model_callback contract
+    (reference: sip_optimal_control.cpp:13-127): objective + gradient +
+    stacked residuals + derivative/Hessian stage data.  The Hessian blocks
+    in `stage` are Lagrangian Hessians at the given (y, z)."""
+
+    f: jax.Array
+    grad: Primal
+    c: YVec           # assembled equality residuals (root row included)
+    g: ZVec
+    stage: StageModelData
+
+
+@dataclasses.dataclass(frozen=True)
+class OCProblem:
+    """A trajectory-optimization problem instance (static part).
+
+    The equivalent of the reference's Input (reference: types.hpp:128-151)
+    with JAX callables instead of C callbacks.  `eval_model` is the full
+    derivative evaluation; `eval_fcg` is the cheap residual-only evaluation
+    used by line-search probes (the reference's `new_x=false` path)."""
+
+    dims: Dimensions
+    sched: TopologySchedule
+    masks: ConstraintMasks
+    eval_model: Callable[[Primal, YVec, ZVec], ModelEval]
+    eval_fcg: Callable[[Primal], tuple]      # -> (f, c: YVec, g: ZVec)
+    lower: Primal                            # -inf where unbounded
+    upper: Primal                            # +inf where unbounded
+    # residual scalings multiply the convergence-test residuals
+    # (reference: sip::Input::ResidualScaling, types.hpp:148).
+    scale_dual: float = 1.0
+    scale_equality: float = 1.0
+    scale_bound: float = 1.0
+
+
+class SolveResult(NamedTuple):
+    vars: Primal
+    s: ZVec
+    y: YVec
+    z: ZVec
+    zl: Primal
+    zu: Primal
+    f: jax.Array
+    status: jax.Array         # int32 SIPStatus
+    iterations: jax.Array
+    kkt_error: jax.Array
+    mu: jax.Array
+
+
+class _IPMState(NamedTuple):
+    vars: Primal
+    s: ZVec
+    y: YVec
+    z: ZVec
+    zl: Primal
+    zu: Primal
+    mu: jax.Array
+    nu: jax.Array
+    it: jax.Array
+    status: jax.Array
+    kkt_error: jax.Array
+    f: jax.Array
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _pack_b(primal: Primal, yv: YVec, zv: ZVec, p: int,
+            template: KKTVector) -> KKTVector:
+    return KKTVector(x=primal.x, u=primal.u, theta=primal.theta,
+                     y_dyn=yv.dyn, y_nc=yv.nc, y_ec=yv.ec,
+                     z_n=zv.n, z_e=zv.e)
+
+
+def _kkt_from_duals(template: KKTVector, y: YVec, z: ZVec) -> KKTVector:
+    zero = jax.tree.map(jnp.zeros_like, template)
+    return dataclasses.replace(zero, y_dyn=y.dyn, y_nc=y.nc, y_ec=y.ec,
+                               z_n=z.n, z_e=z.e)
+
+
+def _primal_of(v: KKTVector) -> Primal:
+    return Primal(x=v.x, u=v.u, theta=v.theta)
+
+
+def _y_of(v: KKTVector) -> YVec:
+    return YVec(dyn=v.y_dyn, nc=v.y_nc, ec=v.y_ec)
+
+
+def _z_of(v: KKTVector) -> ZVec:
+    return ZVec(n=v.z_n, e=v.z_e)
+
+
+def _zmasks(masks: ConstraintMasks) -> ZVec:
+    return ZVec(n=jnp.asarray(masks.ng), e=jnp.asarray(masks.eg))
+
+
+def solve(problem: OCProblem, settings: Settings,
+          init_vars: Optional[Primal] = None,
+          init_y: Optional[YVec] = None) -> SolveResult:
+    """Run the interior-point solve.  Fully traceable; vmap over a leading
+    batch axis of the arrays referenced by the problem's closures + inits
+    for scenario batching.
+
+    Warm starting: pass `init_vars` / `init_y` from a previous SolveResult
+    (the reference exposes sip_workspace.vars.{x,y} the same way,
+    reference: tests/variable_dimensions_test.cpp:437-446)."""
+    dims = problem.dims
+    masks = problem.masks
+    sched = problem.sched
+    dtype = jnp.result_type(float)
+    zmask = _zmasks(masks)
+    zmask_f = _tmap(lambda m: m.astype(dtype), zmask)
+    pmask = Primal(x=jnp.asarray(masks.state, dtype),
+                   u=jnp.asarray(masks.control, dtype),
+                   theta=jnp.ones((dims.theta_dim,), dtype))
+    template = zero_kkt_vector(dims, dtype)
+    lower, upper = problem.lower, problem.upper
+    has_lb = _tmap(jnp.isfinite, lower)
+    has_ub = _tmap(jnp.isfinite, upper)
+    ls = settings.line_search
+
+    def dist_l(vars):
+        return _tmap(lambda v, lb, h: jnp.where(h, v - lb, 1.0),
+                     vars, lower, has_lb)
+
+    def dist_u(vars):
+        return _tmap(lambda v, ub, h: jnp.where(h, ub - v, 1.0),
+                     vars, upper, has_ub)
+
+    # ----- initialization --------------------------------------------------
+    if init_vars is None:
+        init_vars = Primal(
+            x=jnp.zeros_like(template.x), u=jnp.zeros_like(template.u),
+            theta=jnp.zeros_like(template.theta))
+    # push strictly inside the bounds (cf. IPOPT's kappa_1 push)
+    def push(v, lb, ub, hl, hu):
+        lo = jnp.where(hl, lb + settings.bound_push *
+                       jnp.maximum(1.0, jnp.abs(lb)), -jnp.inf)
+        hi = jnp.where(hu, ub - settings.bound_push *
+                       jnp.maximum(1.0, jnp.abs(ub)), jnp.inf)
+        mid = jnp.where(hl & hu, 0.5 * (lb + ub), 0.0)
+        v = jnp.where(lo <= hi, jnp.clip(v, lo, hi), mid)
+        return v
+    vars0 = _tmap(push, init_vars, lower, upper, has_lb, has_ub)
+    vars0 = _tmap(lambda v, m: v * m, vars0, pmask)
+
+    f0, c0, g0 = problem.eval_fcg(vars0)
+    mu0 = jnp.asarray(settings.mu_init, dtype)
+    s0 = _tmap(lambda g, m: jnp.where(
+        m, jnp.maximum(-g, settings.mu_init), 1.0), g0, zmask)
+    z0 = _tmap(lambda s, m: jnp.where(m, mu0 / s, 1.0), s0, zmask)
+    y0 = init_y if init_y is not None else YVec(
+        dyn=jnp.zeros_like(template.y_dyn),
+        nc=jnp.zeros_like(template.y_nc),
+        ec=jnp.zeros_like(template.y_ec))
+    zl0 = _tmap(lambda d, h: jnp.where(h, mu0 / d, 0.0), dist_l(vars0),
+                has_lb)
+    zu0 = _tmap(lambda d, h: jnp.where(h, mu0 / d, 0.0), dist_u(vars0),
+                has_ub)
+
+    state0 = _IPMState(
+        vars=vars0, s=s0, y=y0, z=z0, zl=zl0, zu=zu0, mu=mu0,
+        nu=jnp.asarray(ls.nu_min, dtype), it=jnp.int32(0),
+        status=jnp.int32(SIPStatus.RUNNING),
+        kkt_error=jnp.asarray(jnp.inf, dtype), f=f0)
+
+    # ----- residuals and errors -------------------------------------------
+    def kkt_residuals(vars, s, y, z, zl, zu, ev: ModelEval):
+        duals = _kkt_from_duals(template, y, z)
+        ct = apply_CT(ev.stage, duals, sched)
+        gt = apply_GT(ev.stage, duals, sched)
+        stat = _tmap(lambda g_, a, b_, l, u_, m: (g_ + a + b_ + u_ - l) * m,
+                     ev.grad, _primal_of(ct), _primal_of(gt), zl, zu, pmask)
+        r_ineq = _tmap(lambda g, sv, m: jnp.where(m, g + sv, 0.0), ev.g, s,
+                       zmask)
+        # complementarity at barrier parameter value `m_mu`
+        def comp(m_mu):
+            cs = _tmap(lambda sv, zv, m: jnp.where(m, sv * zv - m_mu, 0.0),
+                       s, z, zmask)
+            cl = _tmap(lambda d, l, h: jnp.where(h, d * l - m_mu, 0.0),
+                       dist_l(vars), zl, has_lb)
+            cu = _tmap(lambda d, u_, h: jnp.where(h, d * u_ - m_mu, 0.0),
+                       dist_u(vars), zu, has_ub)
+            return jnp.maximum(_tinf(cs),
+                               jnp.maximum(_tinf(cl), _tinf(cu)))
+
+        def err(m_mu):
+            return jnp.max(jnp.stack([
+                problem.scale_dual * _tinf(stat),
+                problem.scale_equality * _tinf(ev.c),
+                _tinf(r_ineq),
+                problem.scale_bound * comp(m_mu)]))
+
+        return stat, r_ineq, err
+
+    # ----- merit function --------------------------------------------------
+    def barrier_value(vars, s, f, c, g, mu, nu):
+        log_s = _tsum(_tmap(
+            lambda sv, m: jnp.where(m, jnp.log(jnp.maximum(sv, _EPS)), 0.0),
+            s, zmask))
+        log_b = _tsum(_tmap(
+            lambda d, h: jnp.where(h, jnp.log(jnp.maximum(d, _EPS)), 0.0),
+            dist_l(vars), has_lb)) + _tsum(_tmap(
+                lambda d, h: jnp.where(h, jnp.log(jnp.maximum(d, _EPS)), 0.0),
+                dist_u(vars), has_ub))
+        theta = _tsum(_tmap(jnp.abs, c)) + _tsum(
+            _tmap(lambda gv, sv, m: jnp.where(m, jnp.abs(gv + sv), 0.0),
+                  g, s, zmask))
+        return f - mu * (log_s + log_b) + nu * theta, theta
+
+    # ----- one IPM iteration ----------------------------------------------
+    def body(st: _IPMState) -> _IPMState:
+        vars, s, y, z, zl, zu, mu = (st.vars, st.s, st.y, st.z, st.zl,
+                                     st.zu, st.mu)
+        ev = problem.eval_model(vars, y, z)
+        stat, r_ineq, err_fn = kkt_residuals(vars, s, y, z, zl, zu, ev)
+        e0 = err_fn(0.0)
+        converged = e0 <= settings.tol
+
+        # barrier update (possibly several decreases handled across iters)
+        e_mu = err_fn(mu)
+        shrink = e_mu <= settings.kappa_eps * mu
+        mu = jnp.where(
+            shrink & ~converged,
+            jnp.maximum(settings.mu_min,
+                        jnp.minimum(settings.kappa_mu * mu,
+                                    mu ** settings.theta_mu)),
+            mu)
+
+        dl, du = dist_l(vars), dist_u(vars)
+        # regularizations: w = s/z; bounds fold into r1
+        # (reference channels: factor(w, r1, r2, r3), helpers.cpp:242)
+        reg_d = settings.gamma_reg * mu + settings.reg_floor
+        bound_diag = _tmap(
+            lambda d1, l, h1, d2, u_, h2: jnp.where(h1, l / d1, 0.0)
+            + jnp.where(h2, u_ / d2, 0.0),
+            dl, zl, has_lb, du, zu, has_ub)
+        r1 = _tmap(lambda b_, m: (settings.prox_reg + b_) * m, bound_diag,
+                   pmask)
+        w = _tmap(lambda sv, zv, m: jnp.where(m, sv / zv, 1.0), s, z, zmask)
+        regs = Regularizations(
+            w_n=w.n, w_e=w.e, r1_x=r1.x, r1_u=r1.u, r1_th=r1.theta,
+            r2_dyn=jnp.full_like(template.y_dyn, reg_d),
+            r2_nc=jnp.full_like(template.y_nc, reg_d),
+            r2_ec=jnp.full_like(template.y_ec, reg_d),
+            r3_n=jnp.full_like(template.z_n, reg_d),
+            r3_e=jnp.full_like(template.z_e, reg_d))
+
+        # Newton RHS: primal row uses the primal-barrier bound gradient
+        duals = _kkt_from_duals(template, y, z)
+        ct = apply_CT(ev.stage, duals, sched)
+        gt = apply_GT(ev.stage, duals, sched)
+        bound_grad = _tmap(
+            lambda d1, h1, d2, h2: -jnp.where(h1, mu / d1, 0.0)
+            + jnp.where(h2, mu / d2, 0.0), dl, has_lb, du, has_ub)
+        b_x = _tmap(lambda g_, a, b_, bg, m: -(g_ + a + b_ + bg) * m,
+                    ev.grad, _primal_of(ct), _primal_of(gt), bound_grad,
+                    pmask)
+        b_y = _tmap(jnp.negative, ev.c)
+        b_z = _tmap(lambda gv, zv, m: jnp.where(m, -gv - mu / zv, 0.0),
+                    ev.g, z, zmask)
+        b = _pack_b(b_x, b_y, b_z, dims.theta_dim, template)
+
+        # factor with bounded proximal-inflation retries
+        fact0 = kkt_factor(ev.stage, regs, masks, sched)
+
+        def retry_cond(carry):
+            regs_c, fact_c, k = carry
+            return (fact_c.status != 0) & (k < settings.max_factor_retries)
+
+        def retry_body(carry):
+            regs_c, fact_c, k = carry
+            regs_n = dataclasses.replace(
+                regs_c,
+                r1_x=regs_c.r1_x * settings.retry_scale
+                + settings.retry_scale * settings.prox_reg * pmask.x,
+                r1_u=regs_c.r1_u * settings.retry_scale
+                + settings.retry_scale * settings.prox_reg * pmask.u,
+                r1_th=regs_c.r1_th * settings.retry_scale
+                + settings.retry_scale * settings.prox_reg * pmask.theta)
+            return (regs_n, kkt_factor(ev.stage, regs_n, masks, sched),
+                    k + 1)
+
+        regs_f, fact, _ = lax.while_loop(retry_cond, retry_body,
+                                         (regs, fact0, jnp.int32(0)))
+        factor_failed = fact.status != 0
+
+        sol = kkt_solve(fact, ev.stage, b, sched)
+        dv = _primal_of(sol)
+        dy = _y_of(sol)
+        dz = _z_of(sol)
+        ds = _tmap(lambda ri, gdx, m: jnp.where(m, -ri - gdx, 0.0),
+                   r_ineq, _z_of(apply_G(ev.stage, sol, sched)), zmask)
+        dzl = _tmap(lambda d, l, dx_, h: jnp.where(
+            h, mu / d - l - (l / d) * dx_, 0.0), dl, zl, dv, has_lb)
+        dzu = _tmap(lambda d, u_, dx_, h: jnp.where(
+            h, mu / d - u_ + (u_ / d) * dx_, 0.0), du, zu, dv, has_ub)
+
+        # fraction-to-boundary step limits
+        tau = jnp.maximum(settings.tau_min, 1.0 - mu)
+
+        def max_step(val, dval, mask):
+            # max alpha <= 1 with val + alpha*dval >= (1-tau)*val
+            bad = mask & (dval < 0)
+            a = jnp.where(bad, -tau * val / jnp.where(bad, dval, -1.0), 1.0)
+            return jnp.min(a, initial=1.0)
+
+        alpha_p = jnp.minimum(
+            jnp.min(jnp.stack([max_step(sv, dsv, m) for sv, dsv, m in zip(
+                jax.tree.leaves(s), jax.tree.leaves(ds),
+                jax.tree.leaves(zmask))]), initial=1.0) if
+            jax.tree.leaves(s) else 1.0,
+            jnp.minimum(
+                jnp.min(jnp.stack(
+                    [max_step(d, dd, h) for d, dd, h in zip(
+                        jax.tree.leaves(dl), jax.tree.leaves(dv),
+                        jax.tree.leaves(has_lb))]), initial=1.0),
+                jnp.min(jnp.stack(
+                    [max_step(d, -dd, h) for d, dd, h in zip(
+                        jax.tree.leaves(du), jax.tree.leaves(dv),
+                        jax.tree.leaves(has_ub))]), initial=1.0)))
+        alpha_d = jnp.min(jnp.stack(
+            [max_step(a, b_, m) for a, b_, m in zip(
+                jax.tree.leaves(z) + jax.tree.leaves(zl)
+                + jax.tree.leaves(zu),
+                jax.tree.leaves(dz) + jax.tree.leaves(dzl)
+                + jax.tree.leaves(dzu),
+                jax.tree.leaves(zmask) + jax.tree.leaves(has_lb)
+                + jax.tree.leaves(has_ub))]), initial=1.0)
+
+        # ----- Armijo backtracking on the barrier merit function ----------
+        phi0, theta0 = barrier_value(vars, s, ev.f, ev.c, ev.g, mu, 0.0)
+        # directional derivative of f + barrier
+        d_phi = (_tdot(ev.grad, dv)
+                 - mu * _tsum(_tmap(
+                     lambda dsv, sv, m: jnp.where(m, dsv / sv, 0.0), ds, s,
+                     zmask))
+                 - mu * _tsum(_tmap(
+                     lambda dx_, d, h: jnp.where(h, dx_ / d, 0.0), dv, dl,
+                     has_lb))
+                 + mu * _tsum(_tmap(
+                     lambda dx_, d, h: jnp.where(h, dx_ / d, 0.0), dv, du,
+                     has_ub)))
+        nu = jnp.maximum(st.nu, jnp.where(
+            theta0 > 1e-14, d_phi / ((1.0 - ls.nu_rho)
+                                     * jnp.maximum(theta0, 1e-14)),
+            ls.nu_min))
+        nu = jnp.maximum(nu, ls.nu_min)
+        slope = d_phi - nu * theta0
+        phi0 = phi0 + nu * theta0
+
+        def trial(alpha):
+            vars_t = _tmap(lambda v_, d_: v_ + alpha * d_, vars, dv)
+            s_t = _tmap(lambda sv, dsv: sv + alpha * dsv, s, ds)
+            f_t, c_t, g_t = problem.eval_fcg(vars_t)
+            phi_t, _ = barrier_value(vars_t, s_t, f_t, c_t, g_t, mu, nu)
+            return vars_t, s_t, f_t, phi_t
+
+        def ls_cond(carry):
+            alpha, k, accepted = carry
+            return (~accepted) & (k < ls.max_steps)
+
+        def ls_body(carry):
+            alpha, k, _ = carry
+            _, _, _, phi_t = trial(alpha)
+            ok = phi_t <= phi0 + ls.eta * alpha * slope
+            alpha_next = jnp.where(ok, alpha, alpha * ls.backtrack)
+            return (alpha_next, k + 1, ok)
+
+        alpha_f, _, ls_ok = lax.while_loop(
+            ls_cond, ls_body, (alpha_p, jnp.int32(0), jnp.asarray(False)))
+        # if the line search exhausted its budget, take the last tiny step
+        alpha = alpha_f
+
+        vars_n, s_n, f_n, _ = trial(alpha)
+        y_n = _tmap(lambda a, d_: a + alpha_d * d_, y, dy)
+        z_n = _tmap(lambda a, d_, m: jnp.where(m, a + alpha_d * d_, 1.0),
+                    z, dz, zmask)
+        zl_n = _tmap(lambda a, d_, h: jnp.where(h, a + alpha_d * d_, 0.0),
+                     zl, dzl, has_lb)
+        zu_n = _tmap(lambda a, d_, h: jnp.where(h, a + alpha_d * d_, 0.0),
+                     zu, dzu, has_ub)
+        # z-corridor safeguard (IPOPT's kappa_sigma reset)
+        z_n = _tmap(lambda zv, sv, m: jnp.where(
+            m, jnp.clip(zv, mu / (settings.kappa_sigma * sv),
+                        settings.kappa_sigma * mu / sv), 1.0),
+            z_n, s_n, zmask)
+        s_n = _tmap(lambda sv, m: jnp.where(
+            m, jnp.maximum(sv, settings.slack_min), 1.0), s_n, zmask)
+
+        if settings.logging.print_logs:
+            jax.debug.print(
+                "it={it} f={f:.6e} E0={e0:.3e} mu={mu:.1e} "
+                "alpha={al:.2e} alphad={ad:.2e} nu={nu:.1e} st={fs}",
+                it=st.it, f=ev.f, e0=e0, mu=st.mu, al=alpha, ad=alpha_d,
+                nu=nu, fs=fact.status)
+
+        it_n = st.it + 1
+        new_status = jnp.where(
+            converged, jnp.int32(SIPStatus.SOLVED),
+            jnp.where(factor_failed,
+                      jnp.int32(SIPStatus.FACTORIZATION_FAILURE),
+                      jnp.where(it_n >= settings.max_iterations,
+                                jnp.int32(SIPStatus.MAX_ITERATIONS),
+                                jnp.int32(SIPStatus.RUNNING))))
+
+        # freeze the state once converged/failed
+        def sel(new, old):
+            return _tmap(lambda a, b_: jnp.where(converged, b_, a), new, old)
+
+        return _IPMState(
+            vars=sel(vars_n, vars), s=sel(s_n, s), y=sel(y_n, y),
+            z=sel(z_n, z), zl=sel(zl_n, zl), zu=sel(zu_n, zu),
+            mu=jnp.where(converged, st.mu, mu), nu=nu, it=it_n,
+            status=new_status, kkt_error=e0,
+            f=jnp.where(converged, ev.f, f_n))
+
+    def cond(st: _IPMState):
+        return st.status == SIPStatus.RUNNING
+
+    final = lax.while_loop(cond, body, state0)
+
+    # final convergence check (the loop may exit on max_iterations with the
+    # last step having converged)
+    ev_f = problem.eval_model(final.vars, final.y, final.z)
+    _, _, err_fn = kkt_residuals(final.vars, final.s, final.y, final.z,
+                                 final.zl, final.zu, ev_f)
+    e_final = err_fn(0.0)
+    status = jnp.where(e_final <= settings.tol,
+                       jnp.int32(SIPStatus.SOLVED), final.status)
+    status = jnp.where(status == SIPStatus.RUNNING,
+                       jnp.int32(SIPStatus.MAX_ITERATIONS), status)
+
+    return SolveResult(
+        vars=final.vars, s=final.s, y=final.y, z=final.z, zl=final.zl,
+        zu=final.zu, f=ev_f.f, status=status, iterations=final.it,
+        kkt_error=e_final, mu=final.mu)
