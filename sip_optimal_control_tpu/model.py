@@ -97,7 +97,8 @@ def build_problem(spec: ModelSpec, dims: Dimensions, topology: Topology,
                   initial_state, lower: Optional[Primal] = None,
                   upper: Optional[Primal] = None,
                   scale_dual: float = 1.0, scale_equality: float = 1.0,
-                  scale_bound: float = 1.0) -> OCProblem:
+                  scale_bound: float = 1.0,
+                  init_mode: str = "constant") -> OCProblem:
     """Assemble an OCProblem with autodiff derivative evaluation.
 
     Currently requires uniform stage dimensions (the padding plan for
@@ -228,7 +229,23 @@ def build_problem(spec: ModelSpec, dims: Dimensions, topology: Topology,
 
         return ModelEval(f=f, grad=grad, c=c, g=g, stage=stage)
 
+    # default primal init: constant trajectory at the initial state (cheap,
+    # root-feasible) or an open-loop zero-control rollout
+    if init_mode == "rollout":
+        def roll(x_prev, e):
+            nxt = spec.dynamics(x_prev, jnp.zeros((m,)), jnp.zeros((p,)), e)
+            return nxt, nxt
+        _, xs = jax.lax.scan(roll, initial_state, edge_ids)
+        x_init = jnp.concatenate([initial_state[None], xs], axis=0)
+        if not topology.is_chain:
+            x_init = jnp.tile(initial_state[None], (N, 1))
+    else:
+        x_init = jnp.tile(initial_state[None], (N, 1))
+    default_init = Primal(x=x_init, u=jnp.zeros((E, m)),
+                          theta=jnp.zeros((p,)))
+
     return OCProblem(dims=dims, sched=sched, masks=masks,
                      eval_model=eval_model, eval_fcg=eval_fcg,
                      lower=lower, upper=upper, scale_dual=scale_dual,
-                     scale_equality=scale_equality, scale_bound=scale_bound)
+                     scale_equality=scale_equality, scale_bound=scale_bound,
+                     default_init=default_init)

@@ -1,0 +1,3 @@
+from .double_integrator import double_integrator
+from .cartpole import cartpole_swingup
+from .quadrotor import planar_quadrotor

@@ -1,0 +1,95 @@
+"""Receding-horizon MPC driver with warm starting (BASELINE config 4).
+
+The domain equivalent of checkpoint/resume: the solver state is an explicit
+pytree the caller threads between re-solves (the reference exposes
+sip_workspace.vars.{x,y} for the same purpose,
+reference: tests/variable_dimensions_test.cpp:437-446).  The whole MPC loop
+is one `lax.scan`, so an entire closed-loop rollout — plant included — jits
+and vmaps as a unit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .model import ModelSpec, build_problem
+from .solver.settings import Settings
+from .solver.sip import Primal, YVec, solve
+from .types import Dimensions, Topology
+
+
+class MPCTrace(NamedTuple):
+    states: jax.Array       # [steps+1, n] closed-loop plant states
+    controls: jax.Array     # [steps, m] applied controls
+    iterations: jax.Array   # [steps] solver iterations per re-solve
+    statuses: jax.Array     # [steps]
+    kkt_errors: jax.Array   # [steps]
+
+
+def _shift_warm_start(vars: Primal, y: YVec):
+    """Shift the predicted trajectory one stage forward — the classic MPC
+    warm start (duplicate the terminal stage)."""
+    def shift_nodes(a):
+        return jnp.concatenate([a[1:], a[-1:]], axis=0)
+
+    return (Primal(x=shift_nodes(vars.x), u=shift_nodes(vars.u),
+                   theta=vars.theta),
+            YVec(dyn=shift_nodes(y.dyn), nc=shift_nodes(y.nc),
+                 ec=shift_nodes(y.ec)))
+
+
+def run_mpc(spec: ModelSpec, dims: Dimensions, topology: Topology,
+            x0, n_steps: int, settings: Optional[Settings] = None,
+            lower=None, upper=None,
+            plant: Optional[Callable] = None,
+            warm_start: bool = True) -> MPCTrace:
+    """Closed-loop MPC: at each step solve the horizon problem from the
+    current plant state, apply u[0], advance the plant, warm start the next
+    solve from the shifted solution.
+
+    `plant(x, u) -> x_next` defaults to the model dynamics (edge 0)."""
+    settings = settings or Settings()
+    theta0 = jnp.zeros((dims.theta_dim,))
+    if plant is None:
+        def plant(x, u):
+            return spec.dynamics(x, u, theta0, 0)
+
+    def step(carry, _):
+        x, warm_vars, warm_y, have_warm = carry
+        problem = build_problem(spec, dims, topology, initial_state=x,
+                                lower=lower, upper=upper)
+        if warm_start:
+            init_vars = jax.tree.map(
+                lambda w, d: jnp.where(have_warm, w, d), warm_vars,
+                problem.default_init)
+            result = solve(problem, settings, init_vars=init_vars,
+                           init_y=warm_y)
+        else:
+            result = solve(problem, settings)
+        u0 = result.vars.u[0]
+        x_next = plant(x, u0)
+        next_vars, next_y = _shift_warm_start(result.vars, result.y)
+        out = (x_next, u0, result.iterations, result.status,
+               result.kkt_error)
+        return (x_next, next_vars, next_y, jnp.asarray(True)), out
+
+    n = dims.max_state_dim
+    m = dims.max_control_dim
+    N, E = dims.num_nodes, dims.num_edges
+    zero_vars = Primal(x=jnp.zeros((N, n)), u=jnp.zeros((E, m)),
+                       theta=theta0)
+    zero_y = YVec(dyn=jnp.zeros((N, n)),
+                  nc=jnp.zeros((N, dims.max_node_c_dim)),
+                  ec=jnp.zeros((E, dims.max_edge_c_dim)))
+    x0 = jnp.asarray(x0)
+    (xf, _, _, _), (xs, us, iters, statuses, errs) = lax.scan(
+        step, (x0, zero_vars, zero_y, jnp.asarray(False)), None,
+        length=n_steps)
+    states = jnp.concatenate([x0[None], xs], axis=0)
+    return MPCTrace(states=states, controls=us, iterations=iters,
+                    statuses=statuses, kkt_errors=errs)

@@ -1,0 +1,2 @@
+from .sharding import (scenario_mesh, shard_scenarios, solve_batch_sharded,
+                       BatchSolveStats)

@@ -57,9 +57,11 @@ class Settings:
     kappa_eps: float = 10.0    # barrier subproblem tolerance = kappa_eps*mu
     tau_min: float = 0.99      # fraction-to-boundary floor
     # regularization: r2 = r3 = gamma_reg*mu + reg_floor (dual prox);
-    # r1 = prox_reg + bound weights (primal prox).
-    gamma_reg: float = 1e-2
-    reg_floor: float = 1e-9
+    # r1 = prox_reg + bound weights (primal prox).  Kept small: the step's
+    # linearized infeasibility is r2*|dy|, and the merit line search rejects
+    # directions whose infeasibility rivals the residual decrease.
+    gamma_reg: float = 1e-6
+    reg_floor: float = 1e-8
     prox_reg: float = 1e-8
     max_factor_retries: int = 3
     retry_scale: float = 100.0

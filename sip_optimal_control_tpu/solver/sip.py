@@ -138,6 +138,9 @@ class OCProblem:
     scale_dual: float = 1.0
     scale_equality: float = 1.0
     scale_bound: float = 1.0
+    # default primal initialization when solve() gets no warm start
+    # (e.g. the constant-trajectory init built from initial_state)
+    default_init: Optional["Primal"] = None
 
 
 class SolveResult(NamedTuple):
@@ -237,6 +240,8 @@ def solve(problem: OCProblem, settings: Settings,
 
     # ----- initialization --------------------------------------------------
     if init_vars is None:
+        init_vars = problem.default_init
+    if init_vars is None:
         init_vars = Primal(
             x=jnp.zeros_like(template.x), u=jnp.zeros_like(template.u),
             theta=jnp.zeros_like(template.theta))
@@ -253,7 +258,11 @@ def solve(problem: OCProblem, settings: Settings,
     vars0 = _tmap(lambda v, m: v * m, vars0, pmask)
 
     f0, c0, g0 = problem.eval_fcg(vars0)
-    mu0 = jnp.asarray(settings.mu_init, dtype)
+    # A zero derived from traced data: keeps while_loop carries "varying"
+    # under shard_map (constants entering a carry that becomes
+    # device-varying trip the vma check).
+    vzero = jnp.zeros_like(f0)
+    mu0 = jnp.asarray(settings.mu_init, dtype) + vzero
     s0 = _tmap(lambda g, m: jnp.where(
         m, jnp.maximum(-g, settings.mu_init), 1.0), g0, zmask)
     z0 = _tmap(lambda s, m: jnp.where(m, mu0 / s, 1.0), s0, zmask)
@@ -268,9 +277,12 @@ def solve(problem: OCProblem, settings: Settings,
 
     state0 = _IPMState(
         vars=vars0, s=s0, y=y0, z=z0, zl=zl0, zu=zu0, mu=mu0,
-        nu=jnp.asarray(ls.nu_min, dtype), it=jnp.int32(0),
-        status=jnp.int32(SIPStatus.RUNNING),
-        kkt_error=jnp.asarray(jnp.inf, dtype), f=f0)
+        nu=jnp.asarray(ls.nu_min, dtype) + vzero,
+        it=jnp.int32(0) + vzero.astype(jnp.int32),
+        status=jnp.int32(SIPStatus.RUNNING) + vzero.astype(jnp.int32),
+        kkt_error=jnp.asarray(jnp.inf, dtype) + vzero, f=f0)
+    # propagate varying-ness to every carry leaf (see vzero note above)
+    state0 = jax.tree.map(lambda a: a + vzero.astype(a.dtype), state0)
 
     # ----- residuals and errors -------------------------------------------
     def kkt_residuals(vars, s, y, z, zl, zu, ev: ModelEval):
@@ -389,8 +401,9 @@ def solve(problem: OCProblem, settings: Settings,
             return (regs_n, kkt_factor(ev.stage, regs_n, masks, sched),
                     k + 1)
 
-        regs_f, fact, _ = lax.while_loop(retry_cond, retry_body,
-                                         (regs, fact0, jnp.int32(0)))
+        regs_f, fact, _ = lax.while_loop(
+            retry_cond, retry_body,
+            (regs, fact0, jnp.int32(0) + 0 * fact0.status))
         factor_failed = fact.status != 0
 
         sol = kkt_solve(fact, ev.stage, b, sched)
@@ -476,7 +489,8 @@ def solve(problem: OCProblem, settings: Settings,
             return (alpha_next, k + 1, ok)
 
         alpha_f, _, ls_ok = lax.while_loop(
-            ls_cond, ls_body, (alpha_p, jnp.int32(0), jnp.asarray(False)))
+            ls_cond, ls_body,
+            (alpha_p + 0.0 * phi0, jnp.int32(0), phi0 != phi0))
         # if the line search exhausted its budget, take the last tiny step
         alpha = alpha_f
 
