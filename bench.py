@@ -3,9 +3,13 @@
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 Baseline target (BASELINE.md): >= 10,000 batched MPC solves/s/chip.
 
-Runs on whatever backend the ambient environment provides (the driver runs
-it on one real TPU chip).  float32: the throughput configuration; parity
-configurations run in float64 under tests/.
+Workload: a batch of cartpole receding-horizon controllers (horizon 50, box
+input constraints, float32).  One untimed cold solve produces warm-start
+state; the timed region is the steady-state MPC step — solve every scenario
+from its current plant state with a shifted warm start, apply u[0], advance
+the plant (the reference's warm-start contract:
+tests/variable_dimensions_test.cpp:437-446).  Cold-start throughput is
+available via --mode cold.
 """
 
 import argparse
@@ -16,57 +20,120 @@ import time
 import numpy as np
 
 
+def build_mpc_step(spec, dims, topo, lower, upper, settings):
+    import jax
+    import jax.numpy as jnp
+    from sip_optimal_control_tpu import build_problem, solve
+    from sip_optimal_control_tpu.mpc import _shift_warm_start
+
+    theta0 = jnp.zeros((dims.theta_dim,), jnp.float32)
+
+    def one(x0, warm_vars, warm_y):
+        problem = build_problem(spec, dims, topo, initial_state=x0,
+                                lower=lower, upper=upper)
+        res = solve(problem, settings, init_vars=warm_vars, init_y=warm_y)
+        u0 = res.vars.u[0]
+        x_next = spec.dynamics(x0, u0, theta0, 0)
+        next_vars, next_y = _shift_warm_start(res.vars, res.y)
+        return (x_next, next_vars, next_y, res.status, res.iterations,
+                res.kkt_error)
+
+    return jax.jit(jax.vmap(one))
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch", type=int, default=4096)
     parser.add_argument("--horizon", type=int, default=50)
-    parser.add_argument("--iters", type=int, default=20,
-                        help="IPM iteration budget per solve (MPC-style "
-                        "warm-budgeted re-solve)")
-    parser.add_argument("--tol", type=float, default=1e-4)
-    parser.add_argument("--reps", type=int, default=5)
+    parser.add_argument("--mode", choices=["mpc", "cold"], default="mpc")
+    parser.add_argument("--warm-iters", type=int, default=12)
+    parser.add_argument("--cold-iters", type=int, default=100)
+    parser.add_argument("--tol", type=float, default=1e-3)
+    parser.add_argument("--reps", type=int, default=10)
     parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args()
 
     import jax
+    import jax.numpy as jnp
+    from sip_optimal_control_tpu import Settings, build_problem, solve
+    from sip_optimal_control_tpu.models import cartpole_swingup
 
-    from __graft_entry__ import _flagship
+    spec, dims, topo, lower, upper, x0 = cartpole_swingup(
+        horizon=args.horizon)
+    f32 = dict(tol=args.tol, mu_min=1e-5, reg_floor=1e-5, prox_reg=1e-5)
+    cold_settings = Settings(max_iterations=args.cold_iters, **f32)
+    warm_settings = Settings(max_iterations=args.warm_iters, **f32)
 
-    fn, (x0s,) = _flagship(batch=args.batch, horizon=args.horizon,
-                           max_iterations=args.iters, tol=args.tol)
-    jfn = jax.jit(fn)
+    rng = np.random.default_rng(0)
+    x0s = np.tile(np.asarray(x0, np.float32), (args.batch, 1))
+    x0s[:, 0] += 0.1 * rng.standard_normal(args.batch).astype(np.float32)
+    x0s[:, 2] += 0.1 * rng.standard_normal(args.batch).astype(np.float32)
+    x0s = jnp.asarray(x0s)
 
-    # warmup / compile
-    t0 = time.time()
-    out = jfn(x0s)
-    jax.block_until_ready(out)
-    compile_time = time.time() - t0
-
-    times = []
-    for _ in range(args.reps):
+    if args.mode == "cold":
+        def cold_one(x0_i):
+            problem = build_problem(spec, dims, topo, initial_state=x0_i,
+                                    lower=lower, upper=upper)
+            res = solve(problem, cold_settings)
+            return res.vars.u, res.status, res.iterations, res.kkt_error
+        jfn = jax.jit(jax.vmap(cold_one))
         t0 = time.time()
-        out = jfn(x0s)
-        jax.block_until_ready(out)
-        times.append(time.time() - t0)
-    t_best = min(times)
-    t_p50 = float(np.median(times))
-    solves_per_sec = args.batch / t_best
+        out = jax.block_until_ready(jfn(x0s))
+        compile_time = time.time() - t0
+        times = []
+        for _ in range(args.reps):
+            t0 = time.time()
+            out = jax.block_until_ready(jfn(x0s))
+            times.append(time.time() - t0)
+        statuses, iters, kkt = out[1], out[2], out[3]
+        metric = f"batched_cold_solves_per_sec_per_chip_h{args.horizon}"
+    else:
+        # untimed cold phase -> warm-start state
+        cold_step = build_mpc_step(spec, dims, topo, lower, upper,
+                                   cold_settings)
+        warm_step = build_mpc_step(spec, dims, topo, lower, upper,
+                                   warm_settings)
+        from sip_optimal_control_tpu.solver.sip import Primal, YVec
+        N, E = dims.num_nodes, dims.num_edges
+        n, m = dims.max_state_dim, dims.max_control_dim
+        B = args.batch
+        zero_vars = Primal(x=jnp.zeros((B, N, n), jnp.float32),
+                           u=jnp.zeros((B, E, m), jnp.float32),
+                           theta=jnp.zeros((B, dims.theta_dim), jnp.float32))
+        zero_y = YVec(dyn=jnp.zeros((B, N, n), jnp.float32),
+                      nc=jnp.zeros((B, N, dims.max_node_c_dim), jnp.float32),
+                      ec=jnp.zeros((B, E, dims.max_edge_c_dim), jnp.float32))
+        t0 = time.time()
+        x_c, wv, wy, statuses, iters, kkt = jax.block_until_ready(
+            cold_step(x0s, None, None))
+        # warm compile for the timed step
+        state = jax.block_until_ready(warm_step(x_c, wv, wy))
+        compile_time = time.time() - t0
 
-    u, statuses, iterations, kkt = out
-    solved = int(np.sum(np.asarray(statuses) == 0))
+        times = []
+        for _ in range(args.reps):
+            x_c, wv, wy = state[0], state[1], state[2]
+            t0 = time.time()
+            state = jax.block_until_ready(warm_step(x_c, wv, wy))
+            times.append(time.time() - t0)
+        statuses, iters, kkt = state[3], state[4], state[5]
+        metric = f"batched_mpc_solves_per_sec_per_chip_h{args.horizon}"
+
+    t_best = min(times)
+    solves_per_sec = args.batch / t_best
+    solved_frac = float(np.mean(np.asarray(statuses) == 0))
 
     if args.verbose:
-        print(f"# backend={jax.default_backend()} "
-              f"devices={jax.devices()} compile={compile_time:.1f}s "
-              f"p50_batch_time={t_p50 * 1e3:.1f}ms "
-              f"solved={solved}/{args.batch} "
-              f"mean_iters={float(np.mean(np.asarray(iterations))):.1f} "
+        print(f"# backend={jax.default_backend()} compile={compile_time:.1f}s "
+              f"best_batch_time={t_best * 1e3:.2f}ms "
+              f"p50={np.median(times) * 1e3:.2f}ms "
+              f"solved={solved_frac:.3f} "
+              f"mean_iters={float(np.mean(np.asarray(iters))):.1f} "
               f"max_kkt={float(np.max(np.asarray(kkt))):.2e}",
               file=sys.stderr)
 
     print(json.dumps({
-        "metric": "batched_mpc_solves_per_sec_per_chip_h{}".format(
-            args.horizon),
+        "metric": metric,
         "value": round(solves_per_sec, 1),
         "unit": "solves/s/chip",
         "vs_baseline": round(solves_per_sec / 10000.0, 4),
