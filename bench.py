@@ -48,6 +48,8 @@ def main():
     parser.add_argument("--mode", choices=["mpc", "cold"], default="mpc")
     parser.add_argument("--warm-iters", type=int, default=12)
     parser.add_argument("--cold-iters", type=int, default=100)
+    parser.add_argument("--warmup-steps", type=int, default=20,
+                        help="untimed MPC steps before the timed region")
     parser.add_argument("--tol", type=float, default=1e-3)
     parser.add_argument("--reps", type=int, default=10)
     parser.add_argument("--verbose", action="store_true")
@@ -106,17 +108,21 @@ def main():
         t0 = time.time()
         x_c, wv, wy, statuses, iters, kkt = jax.block_until_ready(
             cold_step(x0s, None, None))
-        # warm compile for the timed step
-        state = jax.block_until_ready(warm_step(x_c, wv, wy))
+        # advance the receding horizon (untimed) to a representative state
+        state = (x_c, wv, wy)
+        for _ in range(args.warmup_steps):
+            out = jax.block_until_ready(warm_step(*state))
+            state = out[:3]
         compile_time = time.time() - t0
 
+        # time the SAME warm step repeatedly (deterministic workload)
+        x_c, wv, wy = state
         times = []
         for _ in range(args.reps):
-            x_c, wv, wy = state[0], state[1], state[2]
             t0 = time.time()
-            state = jax.block_until_ready(warm_step(x_c, wv, wy))
+            out = jax.block_until_ready(warm_step(x_c, wv, wy))
             times.append(time.time() - t0)
-        statuses, iters, kkt = state[3], state[4], state[5]
+        statuses, iters, kkt = out[3], out[4], out[5]
         metric = f"batched_mpc_solves_per_sec_per_chip_h{args.horizon}"
 
     t_best = min(times)

@@ -44,6 +44,10 @@ from ..types import (Dimensions, FactorStatus, Topology, TopologySchedule,
                      compile_topology)
 from .linalg import cho_solve, cholesky_with_ok
 
+# Unrolling the chain scans trades program size for far fewer sequential
+# kernel dispatches on TPU (the per-step bodies are tiny).
+_SCAN_UNROLL = 1
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
@@ -210,7 +214,8 @@ def _factor_chain(data: LQRData) -> LQRFactorization:
 
     inputs = (data.Q[:T_h], data.delta[:T_h], data.A, data.B, data.M, data.R)
     (_, _, _, status), outs = lax.scan(
-        step, (FT_chol, sdT, sdiT, statusT), inputs, reverse=True)
+        step, (FT_chol, sdT, sdiT, statusT), inputs, reverse=True,
+        unroll=_SCAN_UNROLL)
     V_e, F_chol_e, sd_e, sdi_e, W, K, G_chol = outs
 
     V = jnp.concatenate([V_e, data.Q[T_h][None]], axis=0)
@@ -234,7 +239,8 @@ def _solve_chain(data: LQRData, fact: LQRFactorization) -> LQRSolution:
 
     inputs = (data.q[:T_h], data.r, data.c[1:], data.delta[1:], fact.W,
               fact.G_chol, fact.K, data.A, data.B)
-    _, (k, v_e) = lax.scan(bwd, data.q[T_h], inputs, reverse=True)
+    _, (k, v_e) = lax.scan(bwd, data.q[T_h], inputs, reverse=True,
+                           unroll=_SCAN_UNROLL)
     v = jnp.concatenate([v_e, data.q[T_h][None]], axis=0)
 
     # Root (reference: lqr.cpp:798-819).
@@ -254,7 +260,8 @@ def _solve_chain(data: LQRData, fact: LQRFactorization) -> LQRSolution:
     inputs = (k, fact.K, data.A, data.B, data.c[1:], data.delta[1:], v[1:],
               fact.V[1:], fact.F_chol[1:], fact.sqrt_delta[1:],
               fact.sqrt_delta_inv[1:])
-    _, (u, x_tail, y_tail) = lax.scan(fwd, x_root, inputs)
+    _, (u, x_tail, y_tail) = lax.scan(fwd, x_root, inputs,
+                                      unroll=_SCAN_UNROLL)
 
     x = jnp.concatenate([x_root[None], x_tail], axis=0)
     y = jnp.concatenate([y_root[None], y_tail], axis=0)
