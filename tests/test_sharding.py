@@ -12,6 +12,7 @@ import sys
 _SCRIPT = r"""
 import jax
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
 import jax.numpy as jnp
 import numpy as np
 from sip_optimal_control_tpu import Settings
