@@ -29,12 +29,19 @@ class SIPStatus(enum.IntEnum):
 
 @dataclasses.dataclass(frozen=True)
 class LineSearchSettings:
-    use_filter_line_search: bool = False   # falls back to merit in this build
+    # Merit (Armijo on the nu-penalized barrier merit) by default; the
+    # filter option mirrors the reference's
+    # line_search.use_filter_line_search flag
+    # (reference: tests/variable_dimensions_test.cpp:21-22).
+    use_filter_line_search: bool = False
     max_steps: int = 25
     backtrack: float = 0.5
     eta: float = 1e-6          # Armijo slope fraction
     nu_min: float = 1.0        # merit penalty floor
     nu_rho: float = 0.1        # penalty margin: nu >= D/((1-rho) theta)
+    # filter parameters (Waechter-Biegler style margins)
+    gamma_theta: float = 1e-5
+    gamma_phi: float = 1e-5
 
 
 @dataclasses.dataclass(frozen=True)
@@ -71,5 +78,9 @@ class Settings:
     # Absolute slack floor.  0 disables: the fraction-to-boundary rule keeps
     # s > 0, and any positive floor puts a floor under the g+s residual.
     slack_min: float = 0.0
+    # extra rounds of K-residual correction per Newton solve, using the
+    # apply_K operator (the reference exposes its matvec oracles to the SIP
+    # core for exactly this, helpers.cpp:953-977)
+    iterative_refinement_steps: int = 0
     line_search: LineSearchSettings = LineSearchSettings()
     logging: LoggingSettings = LoggingSettings()

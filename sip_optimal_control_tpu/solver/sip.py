@@ -41,7 +41,7 @@ from jax import lax
 
 from ..types import Dimensions, TopologySchedule
 from ..ops.kkt import (ConstraintMasks, KKTVector, Regularizations,
-                       StageModelData, apply_CT, apply_G, apply_GT,
+                       StageModelData, apply_CT, apply_G, apply_GT, apply_K,
                        kkt_factor, kkt_solve, zero_kkt_vector)
 from .settings import Settings, SIPStatus
 
@@ -170,6 +170,9 @@ class _IPMState(NamedTuple):
     status: jax.Array
     kkt_error: jax.Array
     f: jax.Array
+    # filter line-search memory: (theta, phi) pairs, one slot per iteration
+    filt_th: jax.Array
+    filt_ph: jax.Array
 
 
 # ---------------------------------------------------------------------------
@@ -280,7 +283,9 @@ def solve(problem: OCProblem, settings: Settings,
         nu=jnp.asarray(ls.nu_min, dtype) + vzero,
         it=jnp.int32(0) + vzero.astype(jnp.int32),
         status=jnp.int32(SIPStatus.RUNNING) + vzero.astype(jnp.int32),
-        kkt_error=jnp.asarray(jnp.inf, dtype) + vzero, f=f0)
+        kkt_error=jnp.asarray(jnp.inf, dtype) + vzero, f=f0,
+        filt_th=jnp.full((settings.max_iterations,), jnp.inf, dtype),
+        filt_ph=jnp.full((settings.max_iterations,), jnp.inf, dtype))
     # propagate varying-ness to every carry leaf (see vzero note above)
     state0 = jax.tree.map(lambda a: a + vzero.astype(a.dtype), state0)
 
@@ -407,6 +412,9 @@ def solve(problem: OCProblem, settings: Settings,
         factor_failed = fact.status != 0
 
         sol = kkt_solve(fact, ev.stage, b, sched)
+        for _ in range(settings.iterative_refinement_steps):
+            resid = b - apply_K(ev.stage, regs_f, sol, sched)
+            sol = sol + kkt_solve(fact, ev.stage, resid, sched)
         dv = _primal_of(sol)
         dy = _y_of(sol)
         dz = _z_of(sol)
@@ -481,18 +489,52 @@ def solve(problem: OCProblem, settings: Settings,
             alpha, k, accepted = carry
             return (~accepted) & (k < ls.max_steps)
 
-        def ls_body(carry):
-            alpha, k, _ = carry
-            _, _, _, phi_t = trial(alpha)
-            ok = phi_t <= phi0 + ls.eta * alpha * slope
-            alpha_next = jnp.where(ok, alpha, alpha * ls.backtrack)
-            return (alpha_next, k + 1, ok)
+        if ls.use_filter_line_search:
+            # Waechter-Biegler-style filter: accept a trial not dominated by
+            # any remembered (theta, phi) pair and improving on the current
+            # pair (or satisfying Armijo on phi for f-type steps).
+            phi_bar0, _ = barrier_value(vars, s, ev.f, ev.c, ev.g, mu, 0.0)
 
-        alpha_f, _, ls_ok = lax.while_loop(
-            ls_cond, ls_body,
-            (alpha_p + 0.0 * phi0, jnp.int32(0), phi0 != phi0))
-        # if the line search exhausted its budget, take the last tiny step
-        alpha = alpha_f
+            def filter_trial(alpha):
+                vars_t = _tmap(lambda v_, d_: v_ + alpha * d_, vars, dv)
+                s_t = _tmap(lambda sv, dsv: sv + alpha * dsv, s, ds)
+                f_t, c_t, g_t = problem.eval_fcg(vars_t)
+                phi_t, theta_t = barrier_value(vars_t, s_t, f_t, c_t, g_t,
+                                               mu, 0.0)
+                not_dom = jnp.all(
+                    (theta_t <= (1.0 - ls.gamma_theta) * st.filt_th)
+                    | (phi_t <= st.filt_ph - ls.gamma_phi * st.filt_th))
+                progress = ((theta_t <= (1.0 - ls.gamma_theta) * theta0)
+                            | (phi_t <= phi_bar0 - ls.gamma_phi * theta0))
+                armijo = phi_t <= phi_bar0 + ls.eta * alpha * d_phi
+                return not_dom & (progress | armijo)
+
+            def fls_body(carry):
+                alpha, k, _ = carry
+                ok = filter_trial(alpha)
+                return (jnp.where(ok, alpha, alpha * ls.backtrack), k + 1,
+                        ok)
+
+            alpha, _, _ = lax.while_loop(
+                ls_cond, fls_body,
+                (alpha_p + 0.0 * phi0, jnp.int32(0), phi0 != phi0))
+            # augment the filter with the current pair (theta-type step)
+            filt_th_n = st.filt_th.at[st.it].set(
+                (1.0 - ls.gamma_theta) * theta0)
+            filt_ph_n = st.filt_ph.at[st.it].set(
+                phi_bar0 - ls.gamma_phi * theta0)
+        else:
+            def ls_body(carry):
+                alpha, k, _ = carry
+                _, _, _, phi_t = trial(alpha)
+                ok = phi_t <= phi0 + ls.eta * alpha * slope
+                alpha_next = jnp.where(ok, alpha, alpha * ls.backtrack)
+                return (alpha_next, k + 1, ok)
+
+            alpha, _, _ = lax.while_loop(
+                ls_cond, ls_body,
+                (alpha_p + 0.0 * phi0, jnp.int32(0), phi0 != phi0))
+            filt_th_n, filt_ph_n = st.filt_th, st.filt_ph
 
         vars_n, s_n, f_n, _ = trial(alpha)
         y_n = _tmap(lambda a, d_: a + alpha_d * d_, y, dy)
@@ -535,7 +577,8 @@ def solve(problem: OCProblem, settings: Settings,
             z=sel(z_n, z), zl=sel(zl_n, zl), zu=sel(zu_n, zu),
             mu=jnp.where(converged, st.mu, mu), nu=nu, it=it_n,
             status=new_status, kkt_error=e0,
-            f=jnp.where(converged, ev.f, f_n))
+            f=jnp.where(converged, ev.f, f_n),
+            filt_th=filt_th_n, filt_ph=filt_ph_n)
 
     def cond(st: _IPMState):
         return st.status == SIPStatus.RUNNING

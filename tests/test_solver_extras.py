@@ -1,0 +1,135 @@
+"""Solver coverage beyond chains: global theta variables (Schur path) and
+scenario-tree topologies (robust MPC), both through the autodiff front door.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sip_optimal_control_tpu import (Dimensions, ModelSpec, Settings,
+                                     SIPStatus, Topology, build_problem,
+                                     solve)
+
+
+def test_theta_estimated_jointly():
+    """Double integrator with unknown constant disturbance theta entering
+    the dynamics; theta also carries a small prior cost.  The solver must
+    recover a consistent (trajectory, theta) pair via the Schur path
+    (reference theta machinery: helpers.cpp:190-240, 372-407)."""
+    T, dt = 8, 0.1
+    A = jnp.asarray([[1.0, dt], [0.0, 1.0]])
+    B = jnp.asarray([[0.5 * dt * dt], [dt]])
+    target = jnp.asarray([1.0, 0.0])
+
+    spec = ModelSpec(
+        dynamics=lambda x, u, th, i: A @ x + B @ u + dt * th,
+        node_cost=lambda x, th, i: 0.5 * jnp.where(i == T, 10.0, 1.0)
+        * jnp.sum((x - target) ** 2),
+        edge_cost=lambda x, u, th, i: 0.5 * 0.1 * jnp.sum(u ** 2),
+    )
+    # theta prior: pulled toward 0.3 via a node cost on theta at the root
+    spec = ModelSpec(
+        dynamics=spec.dynamics,
+        node_cost=lambda x, th, i: (
+            0.5 * jnp.where(i == T, 10.0, 1.0) * jnp.sum((x - target) ** 2)
+            + jnp.where(i == 0, 0.5 * 5.0 * jnp.sum((th - 0.3) ** 2), 0.0)),
+        edge_cost=spec.edge_cost,
+    )
+    dims = Dimensions.uniform(num_edges=T, state_dim=2, control_dim=1,
+                              theta_dim=2)
+    problem = build_problem(spec, dims, Topology.chain(T),
+                            initial_state=jnp.zeros(2))
+    res = jax.jit(lambda: solve(problem, Settings(max_iterations=60)))()
+    assert int(res.status) == SIPStatus.SOLVED
+    assert float(res.kkt_error) < 1e-8
+    # theta settles between the prior (0.3) and what tracking prefers
+    th = np.asarray(res.vars.theta)
+    assert np.all(np.isfinite(th)) and np.any(np.abs(th - 0.3) > 1e-6)
+
+
+def _branching_spec(T_branch, dt, gains):
+    """Scenario tree: root 0 branches into len(gains) chains of length
+    T_branch; branch k's dynamics use control gain gains[k]."""
+    n_branches = len(gains)
+    E = n_branches * T_branch
+    parents, children = [], []
+    edge_gain = []
+    node = 1
+    for k in range(n_branches):
+        prev = 0
+        for t in range(T_branch):
+            parents.append(prev)
+            children.append(node)
+            edge_gain.append(gains[k])
+            prev = node
+            node += 1
+    gains_arr = jnp.asarray(edge_gain)
+    A = jnp.asarray([[1.0, dt], [0.0, 1.0]])
+
+    def dynamics(x, u, th, i):
+        B = jnp.asarray([[0.0], [dt]]) * gains_arr[i]
+        return A @ x + B @ u
+
+    spec = ModelSpec(
+        dynamics=dynamics,
+        node_cost=lambda x, th, i: 0.5 * jnp.sum(x ** 2),
+        edge_cost=lambda x, u, th, i: 0.5 * 0.1 * jnp.sum(u ** 2),
+    )
+    topo = Topology.tree(0, parents, children)
+    dims = Dimensions.uniform(num_edges=E, state_dim=2, control_dim=1)
+    return spec, dims, topo
+
+
+def test_scenario_tree_solves():
+    """Robust-MPC style scenario tree through the full IPM."""
+    spec, dims, topo = _branching_spec(T_branch=6, dt=0.1, gains=[1.0, 0.5])
+    x0 = jnp.asarray([1.0, 0.0])
+    problem = build_problem(spec, dims, topo, initial_state=x0)
+    res = jax.jit(lambda: solve(problem, Settings(max_iterations=60)))()
+    assert int(res.status) == SIPStatus.SOLVED
+    assert float(res.kkt_error) < 1e-8
+    # branches rooted at node 0 are independent: each must match its own
+    # chain solve with the same initial state
+    for k, gain in enumerate([1.0, 0.5]):
+        cspec, cdims, ctopo = _branching_spec(T_branch=6, dt=0.1,
+                                              gains=[gain])
+        cres = jax.jit(lambda p: solve(p, Settings(max_iterations=60)))(
+        ) if False else jax.jit(lambda: solve(
+            build_problem(cspec, cdims, ctopo, initial_state=x0),
+            Settings(max_iterations=60)))()
+        assert int(cres.status) == SIPStatus.SOLVED
+        u_branch = np.asarray(res.vars.u)[k * 6:(k + 1) * 6]
+        np.testing.assert_allclose(u_branch, np.asarray(cres.vars.u),
+                                   atol=1e-7)
+
+
+def test_binary_scenario_tree_with_bounds():
+    """Branching at an interior node (shared first stage) + input bounds."""
+    dt = 0.1
+    # chain of 2 from root, then branch into two chains of 3
+    parents = [0, 1, 2, 2, 3, 5, 4, 7]
+    children = [1, 2, 3, 4, 5, 6, 7, 8]
+    E = len(parents)
+    A = jnp.asarray([[1.0, dt], [0.0, 1.0]])
+    B1 = jnp.asarray([[0.0], [dt]])
+    drift = jnp.asarray([0.0, 0.0, 0.0, 0.0, 0.05, 0.05, -0.05, -0.05])
+
+    def dynamics(x, u, th, i):
+        return A @ x + B1 @ u + drift[i] * jnp.asarray([1.0, 0.0])
+
+    spec = ModelSpec(
+        dynamics=dynamics,
+        node_cost=lambda x, th, i: 0.5 * jnp.sum(x ** 2),
+        edge_cost=lambda x, u, th, i: 0.5 * 0.05 * jnp.sum(u ** 2),
+    )
+    topo = Topology.tree(0, parents, children)
+    dims = Dimensions.uniform(num_edges=E, state_dim=2, control_dim=1)
+    from sip_optimal_control_tpu import box_bounds
+    lower, upper = box_bounds(dims, u_lower=-2.0, u_upper=2.0)
+    problem = build_problem(spec, dims, topo,
+                            initial_state=jnp.asarray([2.0, 0.0]),
+                            lower=lower, upper=upper)
+    res = jax.jit(lambda: solve(problem, Settings(max_iterations=80)))()
+    assert int(res.status) == SIPStatus.SOLVED
+    u = np.asarray(res.vars.u)
+    assert np.all(np.abs(u) <= 2.0 + 1e-8)
