@@ -224,10 +224,13 @@ def _safe_inv(v, mask):
 
 
 def kkt_factor(model: StageModelData, regs: Regularizations,
-               masks: ConstraintMasks,
-               sched: TopologySchedule) -> KKTFactorization:
+               masks: ConstraintMasks, sched: TopologySchedule,
+               parallel_time: bool = False) -> KKTFactorization:
     """Condense + LQR-factor (+ theta Schur).  Reference:
-    CallbackProvider::factor (helpers.cpp:242-408)."""
+    CallbackProvider::factor (helpers.cpp:242-408).
+
+    ``parallel_time`` selects the associative-scan Riccati (chains only;
+    O(log T) depth for long horizons)."""
     parent = np.asarray(sched.topology.edge_parents)
     dtype = model.Hxx_node.dtype
 
@@ -282,7 +285,7 @@ def kkt_factor(model: StageModelData, regs: Regularizations,
         Q=Q_mod, q=jnp.zeros_like(regs.r1_x), c=jnp.zeros_like(regs.r1_x),
         delta=delta, A=A, B=B, M=M_mod, R=R_mod,
         r=jnp.zeros_like(regs.r1_u))
-    lqr_fact = lqr_factor(lqr_data, sched)
+    lqr_fact = lqr_factor(lqr_data, sched, parallel_time)
     status = jnp.where(weights_ok, lqr_fact.status,
                        jnp.int32(FactorStatus.INVALID_DELTA))
 
@@ -299,7 +302,8 @@ def kkt_factor(model: StageModelData, regs: Regularizations,
     # --- theta Schur path (reference: helpers.cpp:372-407) -----------------
     j_theta = _theta_jacobian_columns(model, sched)      # KKTVector w/ [p,...]
     k_inv_j = jax.vmap(
-        lambda b: _solve_stagewise(fact, model, b, sched))(j_theta)
+        lambda b: _solve_stagewise(fact, model, b, sched,
+                                   parallel_time))(j_theta)
     s_theta = (jnp.sum(model.Hthth_node, axis=0)
                + jnp.sum(model.Hthth_edge, axis=0)
                + jnp.diag(regs.r1_th)
@@ -363,7 +367,8 @@ def _theta_dot(a: KKTVector, b: KKTVector) -> jax.Array:
 
 
 def _solve_stagewise(fact: KKTFactorization, model: StageModelData,
-                     b: KKTVector, sched: TopologySchedule) -> KKTVector:
+                     b: KKTVector, sched: TopologySchedule,
+                     parallel_time: bool = False) -> KKTVector:
     """Solve the stagewise (theta-free) KKT system for one RHS.
 
     Reference: solve_stagewise_kkt_matrix (helpers.cpp:414-894): condense the
@@ -385,7 +390,7 @@ def _solve_stagewise(fact: KKTFactorization, model: StageModelData,
     c_mod = -b.y_dyn
 
     data = dataclasses.replace(fact.lqr_data, q=q_mod, r=r_mod, c=c_mod)
-    sol = lqr_solve(data, fact.lqr_fact, sched)
+    sol = lqr_solve(data, fact.lqr_fact, sched, parallel_time)
 
     # multiplier recovery (reference: helpers.cpp:828-893)
     y_nc = fact.nc_r2_inv * (_mv(model.Jc_x_node, sol.x) - b.y_nc)
@@ -402,11 +407,12 @@ def _solve_stagewise(fact: KKTFactorization, model: StageModelData,
 
 
 def kkt_solve(fact: KKTFactorization, model: StageModelData, b: KKTVector,
-              sched: TopologySchedule) -> KKTVector:
+              sched: TopologySchedule,
+              parallel_time: bool = False) -> KKTVector:
     """Full KKT solve incl. theta back-substitution.
 
     Reference: CallbackProvider::solve (helpers.cpp:896-951)."""
-    sol = _solve_stagewise(fact, model, b, sched)
+    sol = _solve_stagewise(fact, model, b, sched, parallel_time)
     p = b.theta.shape[-1]
     if p == 0:
         return sol

@@ -103,6 +103,54 @@ def cho_solve(l: jax.Array, b: jax.Array) -> jax.Array:
     return tri_solve(l, tri_solve(l, b, transpose=False), transpose=True)
 
 
+def _ge_solve_unrolled(a: jax.Array, b: jax.Array) -> jax.Array:
+    """General (non-symmetric) solve a x = b by unrolled Gaussian
+    elimination with implicit partial pivoting via `where` row-selects.
+
+    a: [..., n, n]; b: [..., n, k].  Fully unrolled at trace time: every op
+    is elementwise over the batch (lane-parallel on TPU), with none of the
+    sequential pivoted-LU machinery jnp.linalg.solve lowers to.
+    """
+    n = a.shape[-1]
+    rows_a = [a[..., i, :] for i in range(n)]        # each [..., n]
+    rows_b = [b[..., i, :] for i in range(n)]        # each [..., k]
+    for j in range(n):
+        # partial pivoting: pick the max-|a_ij| row among i >= j by a chain
+        # of static compare-swaps (elementwise selects, no gathers)
+        for i in range(j + 1, n):
+            swap = (jnp.abs(rows_a[i][..., j])
+                    > jnp.abs(rows_a[j][..., j]))[..., None]
+            rows_a[j], rows_a[i] = (jnp.where(swap, rows_a[i], rows_a[j]),
+                                    jnp.where(swap, rows_a[j], rows_a[i]))
+            rows_b[j], rows_b[i] = (jnp.where(swap, rows_b[i], rows_b[j]),
+                                    jnp.where(swap, rows_b[j], rows_b[i]))
+        inv_p = 1.0 / rows_a[j][..., j]
+        for i in range(j + 1, n):
+            f = (rows_a[i][..., j] * inv_p)[..., None]
+            rows_a[i] = rows_a[i] - f * rows_a[j]
+            rows_b[i] = rows_b[i] - f * rows_b[j]
+    xs = [None] * n
+    for i in range(n - 1, -1, -1):
+        s = rows_b[i]
+        for k2 in range(i + 1, n):
+            s = s - rows_a[i][..., k2][..., None] * xs[k2]
+        xs[i] = s / rows_a[i][..., i][..., None]
+    return jnp.stack(xs, axis=-2)
+
+
+def ge_solve(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Solve a x = b for general square a; b: [..., n] or [..., n, k].
+    Unrolled for small n (TPU lane-parallel), LAPACK-style fallback above."""
+    vec = b.ndim == a.ndim - 1
+    if vec:
+        b = b[..., None]
+    if a.shape[-1] <= _UNROLL_LIMIT:
+        x = _ge_solve_unrolled(a, b)
+    else:
+        x = jnp.linalg.solve(a, b)
+    return x[..., 0] if vec else x
+
+
 def cho_inverse(l: jax.Array) -> jax.Array:
     """(L L^T)^{-1} via two triangular solves against identity."""
     n = l.shape[-1]

@@ -42,7 +42,7 @@ from jax import lax
 
 from ..types import (Dimensions, FactorStatus, Topology, TopologySchedule,
                      compile_topology)
-from .linalg import cho_solve, cholesky_with_ok
+from .linalg import cho_solve, cholesky_with_ok, ge_solve
 
 # Unrolling the chain scans trades program size for far fewer sequential
 # kernel dispatches on TPU (the per-step bodies are tiny).
@@ -269,6 +269,207 @@ def _solve_chain(data: LQRData, fact: LQRFactorization) -> LQRSolution:
 
 
 # ---------------------------------------------------------------------------
+# chain parallel-in-time path: associative-scan Riccati (O(log T) depth)
+# ---------------------------------------------------------------------------
+#
+# The sequential backward recursion V_p = Q_p + A^T W A - H^T G^{-1} H with
+# W = (V_c^{-1} + delta)^{-1} is, after eliminating the control analytically,
+# the linear-fractional map
+#
+#   V_p = J + Abar^T (I + V_c C)^{-1} V_c Abar,
+#   v_p = eta + Abar^T (I + V_c C)^{-1} (v_c + V_c bbar),
+#
+# with per-edge element (Abar, bbar, C, eta, J):
+#   Abar = A - B R^{-1} M^T,     bbar = c_child - B R^{-1} r,
+#   C    = delta_child + B R^{-1} B^T   (the dual regularization enters
+#          exactly like process noise in the parallel-LQT formulation),
+#   eta  = q_parent - M R^{-1} r,  J = Q_parent - M R^{-1} M^T.
+#
+# Such conditional-value-function elements compose associatively (cf.
+# PAPERS.md: "The Parallelization of Riccati Recursion", arXiv 1809.06360,
+# and Sarkka & Garcia-Fernandez's parallel LQT), so all V_k come out of one
+# `lax.associative_scan` (suffix products, O(log T) sequential depth), after
+# which the stagewise factor products (F, W, G, K) are computed for ALL
+# edges in a single batched step.  The solve's backward (v) and forward (x)
+# passes are affine recursions, parallelized the same way.
+#
+# Requirement: R must be SPD stage-by-stage (slightly stronger than the
+# sequential path's G = R + B^T W B; always true for the IPM's condensed
+# R_mod).  The sequential path remains the default and the fallback.
+
+class _QuadElem(NamedTuple):
+    A: jax.Array    # [n, n]
+    b: jax.Array    # [n]
+    C: jax.Array    # [n, n]
+    eta: jax.Array  # [n]
+    J: jax.Array    # [n, n]
+
+
+def _combine_elems(left: _QuadElem, right: _QuadElem) -> _QuadElem:
+    """Associative composition: `left` is closer to the root.  Verified
+    against direct Schur elimination of the middle state in the tests."""
+    n = left.A.shape[-1]
+    eye = jnp.eye(n, dtype=left.A.dtype)
+    # (I + C_L J_R)^{-1} via LU; shared for several products
+    ic = ge_solve(eye + left.C @ right.J,
+                          jnp.concatenate(
+                              [left.A, left.C,
+                               (left.b - (left.C @ right.eta[..., None])
+                                [..., 0])[..., None]], axis=-1))
+    iA = ic[..., :n]
+    iC = ic[..., n:2 * n]
+    ib = ic[..., 2 * n]
+    # (I + J_R C_L)^{-1} (eta_R + J_R b_L) and ... J_R A_L
+    jc = ge_solve(
+        eye + right.J @ left.C,
+        jnp.concatenate([(right.eta + (right.J @ left.b[..., None])
+                          [..., 0])[..., None],
+                         right.J @ left.A], axis=-1))
+    return _QuadElem(
+        A=right.A @ iA,
+        b=(right.A @ ib[..., None])[..., 0] + right.b,
+        C=right.A @ iC @ jnp.swapaxes(right.A, -1, -2) + right.C,
+        eta=(jnp.swapaxes(left.A, -1, -2)
+             @ jc[..., 0][..., None])[..., 0] + left.eta,
+        J=jnp.swapaxes(left.A, -1, -2) @ jc[..., 1:] + left.J,
+    )
+
+
+def _chain_elements(data: LQRData):
+    """Per-edge elements + the terminal element carrying (Q_T, q_T).
+    Returns (elems stacked [T+1, ...], R_chol [T, m, m], ok)."""
+    T_h = data.A.shape[0]
+    n = data.Q.shape[-1]
+    R_chol, r_ok = cholesky_with_ok(data.R)
+    Rinv_Mt = cho_solve(R_chol, jnp.swapaxes(data.M, -1, -2))  # [T, m, n]
+    Rinv_Bt = cho_solve(R_chol, jnp.swapaxes(data.B, -1, -2))  # [T, m, n]
+    Rinv_r = cho_solve(R_chol, data.r)                         # [T, m]
+    Abar = data.A - data.B @ Rinv_Mt
+    bbar = data.c[1:] - (data.B @ Rinv_r[..., None])[..., 0]
+    C = _diag_embed_jnp(data.delta[1:]) + data.B @ Rinv_Bt
+    eta = data.q[:T_h] - (data.M @ Rinv_r[..., None])[..., 0]
+    J = data.Q[:T_h] - data.M @ Rinv_Mt
+
+    zero_mat = jnp.zeros((1, n, n), data.Q.dtype)
+    zero_vec = jnp.zeros((1, n), data.Q.dtype)
+    elems = _QuadElem(
+        A=jnp.concatenate([Abar, zero_mat], axis=0),
+        b=jnp.concatenate([bbar, zero_vec], axis=0),
+        C=jnp.concatenate([C, zero_mat], axis=0),
+        eta=jnp.concatenate([eta, data.q[T_h][None]], axis=0),
+        J=jnp.concatenate([J, data.Q[T_h][None]], axis=0),
+    )
+    return elems, R_chol, jnp.all(r_ok)
+
+
+def _diag_embed_jnp(v):
+    return jnp.zeros(v.shape + (v.shape[-1],), v.dtype) \
+        .at[..., jnp.arange(v.shape[-1]), jnp.arange(v.shape[-1])].set(v)
+
+
+def _factor_chain_assoc(data: LQRData) -> LQRFactorization:
+    """Associative-scan factorization; produces the same LQRFactorization
+    as the sequential path (so either solve path consumes it)."""
+    elems, _, r_ok = _chain_elements(data)
+    # reverse=True feeds the already-accumulated right suffix as the FIRST
+    # argument; our combine takes (left, right), so swap.
+    suffix = lax.associative_scan(
+        lambda a, b: _combine_elems(b, a), elems, reverse=True)
+    V = suffix.J                     # [T+1, n, n]; V[k] = cost-to-go at k
+
+    F_chol, sd, sdi, f_status = jax.vmap(_factor_F)(data.delta, V)
+    W = jax.vmap(_regularized_W)(F_chol[1:], sdi[1:])
+    G_chol, K, _, g_ok = jax.vmap(_edge_factor)(
+        W, data.A, data.B, data.M, data.R)
+
+    # NaNs from a singular (I + C J) combine count as F failures.
+    nan_fail = jnp.any(jnp.isnan(V))
+    status = _merge_status(
+        jnp.where(r_ok, FactorStatus.SUCCESS,
+                  FactorStatus.G_FACTORIZATION_FAILURE).astype(jnp.int32),
+        _merge_status(
+            jnp.where(nan_fail, FactorStatus.F_FACTORIZATION_FAILURE,
+                      FactorStatus.SUCCESS).astype(jnp.int32),
+            _merge_status(
+                jnp.max(f_status),
+                jnp.max(jnp.where(
+                    g_ok, FactorStatus.SUCCESS,
+                    FactorStatus.G_FACTORIZATION_FAILURE).astype(jnp.int32)))))
+    return LQRFactorization(V=V, F_chol=F_chol, sqrt_delta=sd,
+                            sqrt_delta_inv=sdi, W=W, K=K, G_chol=G_chol,
+                            status=status)
+
+
+class _AffineElem(NamedTuple):
+    T: jax.Array   # [n, n]
+    o: jax.Array   # [n]
+
+
+def _solve_chain_assoc(data: LQRData, fact: LQRFactorization) -> LQRSolution:
+    """Parallel-in-time solve: affine suffix scan for the costate-gradient
+    v, batched gain application, affine prefix scan for the rollout."""
+    T_h = data.A.shape[0]
+    n = data.Q.shape[-1]
+    dtype = data.Q.dtype
+
+    # Backward: v_p = eta_tilde + Tmat v_c, composed as suffix products.
+    elems, _, _ = _chain_elements(data)
+    Vc = fact.V[1:]
+    eye = jnp.eye(n, dtype=dtype)
+    # Tmat = Abar^T (I + V_c C)^{-1}, built by solving the transposed
+    # system; eta_tilde = eta + Tmat (V_c bbar).
+    Tmat = jnp.swapaxes(ge_solve(
+        jnp.swapaxes(eye + Vc @ elems.C[:T_h], -1, -2), elems.A[:T_h]),
+        -1, -2)
+    eta_t = elems.eta[:T_h] + (Tmat @ (Vc @ elems.b[:T_h][..., None]))[..., 0]
+    aff = _AffineElem(
+        T=jnp.concatenate([Tmat, jnp.zeros((1, n, n), dtype)], axis=0),
+        o=jnp.concatenate([eta_t, elems.eta[T_h][None]], axis=0))
+
+    def comb_bwd(a: _AffineElem, b: _AffineElem) -> _AffineElem:
+        # reverse=True: `a` is the right suffix, `b` the new left element;
+        # composition m_b then-apply-to m_a: T_b T_a, T_b o_a + o_b.
+        return _AffineElem(T=b.T @ a.T, o=(b.T @ a.o[..., None])[..., 0]
+                           + b.o)
+
+    v = lax.associative_scan(comb_bwd, aff, reverse=True).o    # [T+1, n]
+
+    # Per-edge gains on the RHS (all edges batched; reference semantics of
+    # _edge_solve_backward but with v already known).
+    f = data.delta[1:] * v[1:] - data.c[1:]
+    g = v[1:] - (fact.W @ f[..., None])[..., 0]
+    h = data.r + (jnp.swapaxes(data.B, -1, -2) @ g[..., None])[..., 0]
+    k = -jax.vmap(cho_solve)(fact.G_chol, h)
+
+    # Root state.
+    f_root = data.delta[0] * v[0] - data.c[0]
+    x_root = -_F_inv_apply(fact.F_chol[0], fact.sqrt_delta[0],
+                           fact.sqrt_delta_inv[0], f_root)
+
+    # Forward rollout as affine prefix scan: x_child = E x_par + e with
+    # E = Phi (A + B K), e = Phi (B k + c - delta v), Phi = (I+delta V)^{-1}.
+    ABK = data.A + data.B @ fact.K
+    rhs_const = ((data.B @ k[..., None])[..., 0] + data.c[1:]
+                 - data.delta[1:] * v[1:])
+    E = jax.vmap(_F_inv_apply)(fact.F_chol[1:], fact.sqrt_delta[1:],
+                               fact.sqrt_delta_inv[1:], ABK)
+    e0 = jax.vmap(_F_inv_apply)(fact.F_chol[1:], fact.sqrt_delta[1:],
+                                fact.sqrt_delta_inv[1:], rhs_const)
+    aff_f = _AffineElem(T=E, o=e0)
+
+    def comb_fwd(a: _AffineElem, b: _AffineElem) -> _AffineElem:
+        return _AffineElem(T=b.T @ a.T, o=(b.T @ a.o[..., None])[..., 0]
+                           + b.o)
+
+    pre = lax.associative_scan(comb_fwd, aff_f)
+    x_tail = (pre.T @ x_root[..., None])[..., 0] + pre.o      # [T, n]
+    x = jnp.concatenate([x_root[None], x_tail], axis=0)
+    u = k + (fact.K @ x[:T_h][..., None])[..., 0]
+    y = v + (fact.V @ x[..., None])[..., 0]
+    return LQRSolution(x=x, u=u, y=y)
+
+
+# ---------------------------------------------------------------------------
 # general trees: level-synchronous recursion
 # ---------------------------------------------------------------------------
 
@@ -371,29 +572,42 @@ def _solve_tree(data: LQRData, fact: LQRFactorization,
 # public API
 # ---------------------------------------------------------------------------
 
-def lqr_factor(data: LQRData, sched: TopologySchedule) -> LQRFactorization:
+def lqr_factor(data: LQRData, sched: TopologySchedule,
+               parallel_time: bool = False) -> LQRFactorization:
     """Factor the dual-regularized tree-LQR KKT system.
 
     Equivalent of LQR::factor_with_status (reference: lqr.cpp:645-731), with
     the status returned as int32 data in ``fact.status``.
+
+    ``parallel_time=True`` (chains only) switches to the associative-scan
+    Riccati with O(log T) sequential depth — the long-horizon scaling path;
+    it additionally requires every R_e to be SPD.
     """
     if sched.topology.is_chain:
+        if parallel_time:
+            return _factor_chain_assoc(data)
         return _factor_chain(data)
     return _factor_tree(data, sched)
 
 
 def lqr_solve(data: LQRData, fact: LQRFactorization,
-              sched: TopologySchedule) -> LQRSolution:
-    """Solve given a factorization (reference: LQR::solve, lqr.cpp:735-871)."""
+              sched: TopologySchedule,
+              parallel_time: bool = False) -> LQRSolution:
+    """Solve given a factorization (reference: LQR::solve, lqr.cpp:735-871).
+
+    Either solve path consumes either factorization (same products)."""
     if sched.topology.is_chain:
+        if parallel_time:
+            return _solve_chain_assoc(data, fact)
         return _solve_chain(data, fact)
     return _solve_tree(data, fact, sched)
 
 
-def lqr_factor_solve(data: LQRData,
-                     sched: TopologySchedule) -> Tuple[LQRSolution, jax.Array]:
-    fact = lqr_factor(data, sched)
-    sol = lqr_solve(data, fact, sched)
+def lqr_factor_solve(data: LQRData, sched: TopologySchedule,
+                     parallel_time: bool = False
+                     ) -> Tuple[LQRSolution, jax.Array]:
+    fact = lqr_factor(data, sched, parallel_time)
+    sol = lqr_solve(data, fact, sched, parallel_time)
     return sol, fact.status
 
 

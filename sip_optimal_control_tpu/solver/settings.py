@@ -82,5 +82,12 @@ class Settings:
     # apply_K operator (the reference exposes its matvec oracles to the SIP
     # core for exactly this, helpers.cpp:953-977)
     iterative_refinement_steps: int = 0
+    # Associative-scan Riccati (chains only): O(log T) sequential depth per
+    # factor/solve instead of O(T) — the long-horizon scaling path (no
+    # analogue in the O(T)-serial reference; SURVEY 2.10(d)).  Measured on
+    # one TPU chip: ~5x faster at horizon 1024 with small batches; large
+    # scenario batches already saturate the vector lanes, so leave this off
+    # for high-throughput batched MPC.
+    parallel_time_riccati: bool = False
     line_search: LineSearchSettings = LineSearchSettings()
     logging: LoggingSettings = LoggingSettings()
