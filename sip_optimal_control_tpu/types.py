@@ -288,16 +288,55 @@ class TopologySchedule:
         return max(len(l) for l in self.levels_nodes)
 
 
-def compile_topology(topology: Topology) -> TopologySchedule:
+def _schedule_from_arrays(topology: Topology, child_offsets, child_edges,
+                          preorder, depth, parent_edge,
+                          parent_node) -> TopologySchedule:
+    """Assemble the schedule (postorder + level grouping) from the graph
+    builder's raw index arrays — shared by the native (C++) and NumPy
+    compilers."""
+    num_nodes = topology.num_nodes
+    postorder = preorder[::-1].copy()
+    max_depth = int(depth.max()) if num_nodes else 0
+    levels_nodes = tuple(
+        np.nonzero(depth == d)[0].astype(np.int32)
+        for d in range(max_depth + 1))
+    levels_edges = tuple(
+        np.asarray([parent_edge[n] for n in lvl], dtype=np.int32)
+        for lvl in levels_nodes)
+    return TopologySchedule(
+        topology=topology, child_offsets=child_offsets,
+        child_edges=child_edges, preorder=preorder, postorder=postorder,
+        depth=depth, parent_edge=parent_edge, parent_node=parent_node,
+        levels_nodes=levels_nodes, levels_edges=levels_edges)
+
+
+def compile_topology(topology: Topology,
+                     use_native: bool = True) -> TopologySchedule:
     """Host-side topology compile; raises TopologyError on invalid trees.
 
     Semantics match compile_topology_data (reference: lqr.cpp:563-631):
     children are visited in edge order; preorder via DFS; postorder is the
     reversed preorder.
+
+    The graph-builder step runs in the native C++ runtime component
+    (native/topology.cpp) when available, with this NumPy implementation as
+    the semantically identical fallback (``use_native=False`` forces it;
+    the tests assert agreement).
     """
     num_edges = topology.num_edges
     num_nodes = topology.num_nodes
     root = topology.root
+
+    if use_native:
+        from . import native as _native
+        try:
+            res = _native.compile_topology_native(
+                num_edges, root, topology.edge_parents,
+                topology.edge_children)
+        except ValueError as err:
+            raise TopologyError(str(err)) from None
+        if res is not None:
+            return _schedule_from_arrays(topology, *res)
     if root < 0 or root >= num_nodes:
         raise TopologyError(f"root {root} out of range [0, {num_nodes})")
 
@@ -355,28 +394,8 @@ def compile_topology(topology: Topology) -> TopologySchedule:
     if size != num_nodes:
         raise TopologyError("tree is disconnected")
 
-    postorder = preorder[::-1].copy()
-
-    max_depth = int(depth.max()) if num_nodes else 0
-    levels_nodes = tuple(
-        np.nonzero(depth == d)[0].astype(np.int32)
-        for d in range(max_depth + 1))
-    levels_edges = tuple(
-        np.asarray([parent_edge[n] for n in lvl], dtype=np.int32)
-        for lvl in levels_nodes)
-
-    return TopologySchedule(
-        topology=topology,
-        child_offsets=child_offsets,
-        child_edges=child_edges,
-        preorder=preorder,
-        postorder=postorder,
-        depth=depth,
-        parent_edge=parent_edge,
-        parent_node=parent_node,
-        levels_nodes=levels_nodes,
-        levels_edges=levels_edges,
-    )
+    return _schedule_from_arrays(topology, child_offsets, child_edges,
+                                 preorder, depth, parent_edge, parent_node)
 
 
 def try_compile_topology(
