@@ -45,8 +45,10 @@ from ..types import (Dimensions, FactorStatus, Topology, TopologySchedule,
 from .linalg import cho_solve, cholesky_with_ok, ge_solve
 
 # Unrolling the chain scans trades program size for far fewer sequential
-# kernel dispatches on TPU (the per-step bodies are tiny).
-_SCAN_UNROLL = 1
+# kernel dispatches on TPU (the per-step bodies are tiny).  Overridable for
+# tuning experiments via SOC_SCAN_UNROLL.
+import os as _os
+_SCAN_UNROLL = int(_os.environ.get("SOC_SCAN_UNROLL", "2"))
 
 
 @jax.tree_util.register_dataclass
