@@ -51,6 +51,8 @@ def main():
     parser.add_argument("--warmup-steps", type=int, default=20,
                         help="untimed MPC steps before the timed region")
     parser.add_argument("--tol", type=float, default=1e-3)
+    parser.add_argument("--backend", choices=["scan", "assoc", "pallas"],
+                        default="pallas", help="chain-Riccati backend")
     parser.add_argument("--reps", type=int, default=10)
     parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args()
@@ -62,7 +64,8 @@ def main():
 
     spec, dims, topo, lower, upper, x0 = cartpole_swingup(
         horizon=args.horizon)
-    f32 = dict(tol=args.tol, mu_min=1e-5, reg_floor=1e-5, prox_reg=1e-5)
+    f32 = dict(tol=args.tol, mu_min=1e-5, reg_floor=1e-5, prox_reg=1e-5,
+               riccati_backend=args.backend)
     cold_settings = Settings(max_iterations=args.cold_iters, **f32)
     warm_settings = Settings(max_iterations=args.warm_iters, **f32)
 

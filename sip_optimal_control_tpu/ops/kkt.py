@@ -225,12 +225,12 @@ def _safe_inv(v, mask):
 
 def kkt_factor(model: StageModelData, regs: Regularizations,
                masks: ConstraintMasks, sched: TopologySchedule,
-               parallel_time: bool = False) -> KKTFactorization:
+               backend: str = "scan") -> KKTFactorization:
     """Condense + LQR-factor (+ theta Schur).  Reference:
     CallbackProvider::factor (helpers.cpp:242-408).
 
-    ``parallel_time`` selects the associative-scan Riccati (chains only;
-    O(log T) depth for long horizons)."""
+    ``backend`` selects the chain Riccati implementation (see
+    ops.lqr.lqr_factor)."""
     parent = np.asarray(sched.topology.edge_parents)
     dtype = model.Hxx_node.dtype
 
@@ -285,7 +285,7 @@ def kkt_factor(model: StageModelData, regs: Regularizations,
         Q=Q_mod, q=jnp.zeros_like(regs.r1_x), c=jnp.zeros_like(regs.r1_x),
         delta=delta, A=A, B=B, M=M_mod, R=R_mod,
         r=jnp.zeros_like(regs.r1_u))
-    lqr_fact = lqr_factor(lqr_data, sched, parallel_time)
+    lqr_fact = lqr_factor(lqr_data, sched, backend)
     status = jnp.where(weights_ok, lqr_fact.status,
                        jnp.int32(FactorStatus.INVALID_DELTA))
 
@@ -303,7 +303,7 @@ def kkt_factor(model: StageModelData, regs: Regularizations,
     j_theta = _theta_jacobian_columns(model, sched)      # KKTVector w/ [p,...]
     k_inv_j = jax.vmap(
         lambda b: _solve_stagewise(fact, model, b, sched,
-                                   parallel_time))(j_theta)
+                                   backend))(j_theta)
     s_theta = (jnp.sum(model.Hthth_node, axis=0)
                + jnp.sum(model.Hthth_edge, axis=0)
                + jnp.diag(regs.r1_th)
@@ -368,7 +368,7 @@ def _theta_dot(a: KKTVector, b: KKTVector) -> jax.Array:
 
 def _solve_stagewise(fact: KKTFactorization, model: StageModelData,
                      b: KKTVector, sched: TopologySchedule,
-                     parallel_time: bool = False) -> KKTVector:
+                     backend: str = "scan") -> KKTVector:
     """Solve the stagewise (theta-free) KKT system for one RHS.
 
     Reference: solve_stagewise_kkt_matrix (helpers.cpp:414-894): condense the
@@ -390,7 +390,7 @@ def _solve_stagewise(fact: KKTFactorization, model: StageModelData,
     c_mod = -b.y_dyn
 
     data = dataclasses.replace(fact.lqr_data, q=q_mod, r=r_mod, c=c_mod)
-    sol = lqr_solve(data, fact.lqr_fact, sched, parallel_time)
+    sol = lqr_solve(data, fact.lqr_fact, sched, backend)
 
     # multiplier recovery (reference: helpers.cpp:828-893)
     y_nc = fact.nc_r2_inv * (_mv(model.Jc_x_node, sol.x) - b.y_nc)
@@ -408,11 +408,11 @@ def _solve_stagewise(fact: KKTFactorization, model: StageModelData,
 
 def kkt_solve(fact: KKTFactorization, model: StageModelData, b: KKTVector,
               sched: TopologySchedule,
-              parallel_time: bool = False) -> KKTVector:
+              backend: str = "scan") -> KKTVector:
     """Full KKT solve incl. theta back-substitution.
 
     Reference: CallbackProvider::solve (helpers.cpp:896-951)."""
-    sol = _solve_stagewise(fact, model, b, sched, parallel_time)
+    sol = _solve_stagewise(fact, model, b, sched, backend)
     p = b.theta.shape[-1]
     if p == 0:
         return sol

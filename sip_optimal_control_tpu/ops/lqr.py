@@ -575,41 +575,54 @@ def _solve_tree(data: LQRData, fact: LQRFactorization,
 # ---------------------------------------------------------------------------
 
 def lqr_factor(data: LQRData, sched: TopologySchedule,
-               parallel_time: bool = False) -> LQRFactorization:
+               backend: str = "scan") -> LQRFactorization:
     """Factor the dual-regularized tree-LQR KKT system.
 
     Equivalent of LQR::factor_with_status (reference: lqr.cpp:645-731), with
     the status returned as int32 data in ``fact.status``.
 
-    ``parallel_time=True`` (chains only) switches to the associative-scan
-    Riccati with O(log T) sequential depth — the long-horizon scaling path;
-    it additionally requires every R_e to be SPD.
+    ``backend`` selects the chain implementation (trees always use the
+    level-synchronous recursion):
+      - "scan":  sequential `lax.scan` (default; best for large scenario
+        batches, which already saturate the vector lanes)
+      - "assoc": associative-scan Riccati, O(log T) sequential depth — the
+        long-horizon / low-latency path; additionally requires SPD R_e
+      - "pallas": fused Pallas kernel — one kernel for the whole backward
+        pass, carry in VMEM (batch sizes that are multiples of 1024)
+    All backends produce the same LQRFactorization products.
     """
     if sched.topology.is_chain:
-        if parallel_time:
+        if backend == "assoc":
             return _factor_chain_assoc(data)
+        if backend == "pallas":
+            from .pallas_riccati import factor_chain_pallas
+            return factor_chain_pallas(data)
         return _factor_chain(data)
     return _factor_tree(data, sched)
 
 
 def lqr_solve(data: LQRData, fact: LQRFactorization,
               sched: TopologySchedule,
-              parallel_time: bool = False) -> LQRSolution:
+              backend: str = "scan") -> LQRSolution:
     """Solve given a factorization (reference: LQR::solve, lqr.cpp:735-871).
 
-    Either solve path consumes either factorization (same products)."""
+    Any solve backend consumes any backend's factorization (same
+    products)."""
     if sched.topology.is_chain:
-        if parallel_time:
+        if backend == "assoc":
             return _solve_chain_assoc(data, fact)
+        if backend == "pallas":
+            from .pallas_riccati import solve_chain_pallas
+            return solve_chain_pallas(data, fact)
         return _solve_chain(data, fact)
     return _solve_tree(data, fact, sched)
 
 
 def lqr_factor_solve(data: LQRData, sched: TopologySchedule,
-                     parallel_time: bool = False
+                     backend: str = "scan"
                      ) -> Tuple[LQRSolution, jax.Array]:
-    fact = lqr_factor(data, sched, parallel_time)
-    sol = lqr_solve(data, fact, sched, parallel_time)
+    fact = lqr_factor(data, sched, backend)
+    sol = lqr_solve(data, fact, sched, backend)
     return sol, fact.status
 
 

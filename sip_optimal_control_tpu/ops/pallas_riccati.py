@@ -1,0 +1,582 @@
+"""Fused Pallas TPU kernel for the batched chain-Riccati backward pass.
+
+The scan backend launches one small XLA kernel per horizon step; at large
+scenario batches that costs ~0.3 ms/step in dispatch + relayout overhead —
+half the whole IPM iteration.  This kernel runs the ENTIRE backward
+factorization (reference: lqr.cpp:645-731) in one `pallas_call`:
+
+  - scenarios are laid out on the vector unit, batch = (8 sublanes x 128
+    lanes) per block, so every elementwise op is a full-tile VPU op;
+  - each (n x n) matrix entry is one [8, 128] tile; the tiny-matrix algebra
+    (Cholesky, triangular solves, products) is unrolled entry-wise at trace
+    time over the static dims n, m;
+  - the horizon is the minor grid dimension: for a fixed batch block the
+    grid steps t = 0..T-1 run sequentially (edge e = T-1-t), carrying the
+    cost-to-go V in VMEM scratch, while Pallas double-buffers the per-stage
+    HBM loads/stores.
+
+The public entry `factor_chain_pallas` is a `custom_vmap`: unbatched calls
+fall back to the sequential scan; under `jax.vmap` (the solver's scenario
+axis) the whole batch is routed into the kernel.  Batch sizes are padded to
+a multiple of 1024 with inert identity stages.  float32 only (TPU-native);
+other dtypes fall back to the scan.  F/sd/sdi products and statuses are
+recomputed from V outside the kernel in one batched XLA pass (cheap, and it
+keeps the kernel single-output-per-stage).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.custom_batching import custom_vmap
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..types import FactorStatus
+from .linalg import cholesky_with_ok
+
+_SUB, _LANE = 8, 128
+_BLK = _SUB * _LANE   # scenarios per kernel block
+
+
+# ---------------------------------------------------------------------------
+# entry-wise tiny-matrix algebra: a matrix is a list of rows, each entry an
+# [8, 128] f32 array (one full VPU tile per scalar)
+# ---------------------------------------------------------------------------
+
+def _mat(ref, rows, cols):
+    return [[ref[0, 0, i * cols + j] for j in range(cols)]
+            for i in range(rows)]
+
+
+def _store(ref, m):
+    for i, row in enumerate(m):
+        for j, v in enumerate(row):
+            ref[0, 0, i * len(row) + j] = v
+
+
+def _matmul(a, b):
+    ra, ca = len(a), len(a[0])
+    cb = len(b[0])
+    assert len(b) == ca
+    return [[functools.reduce(lambda x, y: x + y,
+                              [a[i][k] * b[k][j] for k in range(ca)])
+             for j in range(cb)] for i in range(ra)]
+
+
+def _transpose(a):
+    return [[a[i][j] for i in range(len(a))] for j in range(len(a[0]))]
+
+
+def _add(a, b):
+    return [[a[i][j] + b[i][j] for j in range(len(a[0]))]
+            for i in range(len(a))]
+
+
+def _chol(a):
+    """Entry-wise lower Cholesky (Cholesky-Banachiewicz), mirroring
+    linalg._chol_unrolled with [8,128]-tile scalars."""
+    n = len(a)
+    col = [[None] * n for _ in range(n)]
+    for j in range(n):
+        s = a[j][j]
+        for k in range(j):
+            s = s - col[k][j] * col[k][j]
+        d = jnp.sqrt(s)
+        col[j][j] = d
+        inv_d = 1.0 / d
+        for i in range(j + 1, n):
+            s = a[i][j]
+            for k in range(j):
+                s = s - col[k][i] * col[k][j]
+            col[j][i] = s * inv_d
+    return [[col[j][i] if j <= i else jnp.zeros_like(a[0][0])
+             for j in range(n)] for i in range(n)]
+
+
+def _tri_solve_mat(l, b, transpose):
+    """Solve L X = B (or L^T X = B) column-by-column, entries unrolled."""
+    n = len(l)
+    cols_b = len(b[0])
+    x = [[None] * cols_b for _ in range(n)]
+    order = range(n - 1, -1, -1) if transpose else range(n)
+    for j in range(cols_b):
+        for i in order:
+            s = b[i][j]
+            ks = range(i + 1, n) if transpose else range(i)
+            for k in ks:
+                coeff = l[k][i] if transpose else l[i][k]
+                s = s - coeff * x[k][j]
+            x[i][j] = s / l[i][i]
+    return x
+
+
+def _cho_solve_mat(l, b):
+    return _tri_solve_mat(l, _tri_solve_mat(l, b, False), True)
+
+
+# ---------------------------------------------------------------------------
+# the factor kernel
+# ---------------------------------------------------------------------------
+
+def _factor_kernel(n, m, T,
+                   q_par_ref, q_child_ref, delta_child_ref,
+                   a_ref, b_ref, m_ref, r_ref,
+                   v_out_ref, w_out_ref, k_out_ref, g_out_ref,
+                   v_scratch):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        v_scratch[:] = q_child_ref[0, 0]
+
+    # V_child, delta_child
+    Vc = [[v_scratch[i * n + j] for j in range(n)] for i in range(n)]
+    delta = [delta_child_ref[0, 0, i] for i in range(n)]
+    safe = [jnp.where(d > 0, d, 1.0) for d in delta]
+    sd = [jnp.sqrt(s) for s in safe]
+    sdi = [1.0 / s for s in sd]
+
+    # F = I + sd V sd; W = sdi (I - F^{-1}) sdi  (reference: lqr.cpp:487-529)
+    one = jnp.ones_like(sd[0])
+    zero = jnp.zeros_like(sd[0])
+    F = [[sd[i] * Vc[i][j] * sd[j] + (one if i == j else zero)
+          for j in range(n)] for i in range(n)]
+    Lf = _chol(F)
+    eye = [[one if i == j else zero for j in range(n)] for i in range(n)]
+    F_inv = _cho_solve_mat(Lf, eye)
+    W = [[sdi[i] * ((one if i == j else zero) - F_inv[i][j]) * sdi[j]
+          for j in range(n)] for i in range(n)]
+
+    # G = R + B^T W B; H = M^T + B^T W A; K = -G^{-1} H  (lqr.cpp:689-719)
+    A = _mat(a_ref, n, n)
+    B = _mat(b_ref, n, m)
+    M = _mat(m_ref, n, m)
+    R = _mat(r_ref, m, m)
+    Bt = _transpose(B)
+    BtW = _matmul(Bt, W)
+    G = _add(R, _matmul(BtW, B))
+    Lg = _chol(G)
+    WA = _matmul(W, A)
+    H = _add(_transpose(M), _matmul(Bt, WA))
+    Kneg = _cho_solve_mat(Lg, H)              # = G^{-1} H = -K
+    K = [[-Kneg[i][j] for j in range(n)] for i in range(m)]
+
+    # V_parent = Q_parent + A^T W A + K^T H
+    Qp = _mat(q_par_ref, n, n)
+    Vp = _add(Qp, _add(_matmul(_transpose(A), WA),
+                       _matmul(_transpose(K), H)))
+
+    _store(v_out_ref, Vp)
+    _store(w_out_ref, W)
+    _store(k_out_ref, K)
+    _store(g_out_ref, Lg)
+    for i in range(n):
+        for j in range(n):
+            v_scratch[i * n + j] = Vp[i][j]
+
+
+def _to_tiles(x, rows):
+    """[Batch, S, rows...] -> [Bb, S, rows, 8, 128] with batch innermost."""
+    Bt = x.shape[0]
+    S = x.shape[1]
+    flat = x.reshape(Bt, S, rows)
+    # batch -> (Bb, 8, 128); move to the two minor dims
+    bb = Bt // _BLK
+    flat = flat.reshape(bb, _SUB, _LANE, S, rows)
+    return jnp.transpose(flat, (0, 3, 4, 1, 2))
+
+
+def _from_tiles(x):
+    """[Bb, S, rows, 8, 128] -> [Batch, S, rows]."""
+    bb, S, rows = x.shape[:3]
+    return jnp.transpose(x, (0, 3, 4, 1, 2)).reshape(bb * _BLK, S, rows)
+
+
+def _factor_chain_pallas_batched(data, interpret=False):
+    """Run the kernel on a batch (leading axis, multiple of _BLK after
+    padding).  Returns the same products as the scan backend, batched."""
+    from .lqr import LQRFactorization, _factor_F, _merge_status
+
+    Bt = data.Q.shape[0]
+    T = data.A.shape[1]
+    n = data.Q.shape[-1]
+    m = data.R.shape[-1]
+    dtype = data.Q.dtype
+
+    pad = (-Bt) % _BLK
+    if pad:
+        def pad_leaf(x, inert):
+            filler = jnp.broadcast_to(inert, (pad,) + x.shape[1:])
+            return jnp.concatenate([x, filler.astype(x.dtype)], axis=0)
+        eye_n = jnp.eye(n, dtype=dtype)
+        eye_m = jnp.eye(m, dtype=dtype)
+        import dataclasses as _dc
+        data = _dc.replace(
+            data,
+            Q=pad_leaf(data.Q, eye_n), q=pad_leaf(data.q, jnp.zeros(n, dtype)),
+            c=pad_leaf(data.c, jnp.zeros(n, dtype)),
+            delta=pad_leaf(data.delta, jnp.ones(n, dtype)),
+            A=pad_leaf(data.A, jnp.zeros((n, n), dtype)),
+            B=pad_leaf(data.B, jnp.zeros((n, m), dtype)),
+            M=pad_leaf(data.M, jnp.zeros((n, m), dtype)),
+            R=pad_leaf(data.R, eye_m), r=pad_leaf(data.r, jnp.zeros(m, dtype)))
+
+    Bp = Bt + pad
+    bb = Bp // _BLK
+
+    Qt = _to_tiles(data.Q, n * n)                  # [bb, T+1, n*n, 8, 128]
+    dt = _to_tiles(data.delta, n)
+    At = _to_tiles(data.A, n * n)
+    Btl = _to_tiles(data.B, n * m)
+    Mt = _to_tiles(data.M, n * m)
+    Rt = _to_tiles(data.R, m * m)
+
+    grid = (bb, T)
+
+    def edge_spec(rows):
+        return pl.BlockSpec((1, 1, rows, _SUB, _LANE),
+                            lambda b, t: (b, T - 1 - t, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def node_parent_spec(rows):
+        return pl.BlockSpec((1, 1, rows, _SUB, _LANE),
+                            lambda b, t: (b, T - 1 - t, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def node_child_spec(rows):
+        return pl.BlockSpec((1, 1, rows, _SUB, _LANE),
+                            lambda b, t: (b, T - t, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((bb, T, n * n, _SUB, _LANE), dtype),   # V_par
+        jax.ShapeDtypeStruct((bb, T, n * n, _SUB, _LANE), dtype),   # W
+        jax.ShapeDtypeStruct((bb, T, m * n, _SUB, _LANE), dtype),   # K
+        jax.ShapeDtypeStruct((bb, T, m * m, _SUB, _LANE), dtype),   # G_chol
+    ]
+    kernel = functools.partial(_factor_kernel, n, m, T)
+    v_par, w_t, k_t, g_t = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[node_parent_spec(n * n), node_child_spec(n * n),
+                  node_child_spec(n), edge_spec(n * n), edge_spec(n * m),
+                  edge_spec(n * m), edge_spec(m * m)],
+        out_specs=[edge_spec(n * n), edge_spec(n * n), edge_spec(m * n),
+                   edge_spec(m * m)],
+        out_shape=out_shapes,
+        scratch_shapes=[pltpu.VMEM((n * n, _SUB, _LANE), dtype)],
+        interpret=interpret,
+    )(Qt, Qt, dt, At, Btl, Mt, Rt)
+
+    V = jnp.concatenate(
+        [_from_tiles(v_par).reshape(Bp, T, n, n), data.Q[:, -1:]], axis=1)
+    W = _from_tiles(w_t).reshape(Bp, T, n, n)
+    K = _from_tiles(k_t).reshape(Bp, T, m, n)
+    G_chol = _from_tiles(g_t).reshape(Bp, T, m, m)
+
+    # F products + statuses recomputed in one batched XLA pass.
+    F_chol, sd, sdi, f_status = _factor_F(data.delta, V)
+    g_diag = jnp.diagonal(G_chol, axis1=-2, axis2=-1)
+    g_ok = jnp.all(jnp.isfinite(g_diag) & (g_diag > 0), axis=(-2, -1))
+    nan_fail = jnp.any(~jnp.isfinite(V), axis=(1, 2, 3))
+    status = _merge_status(
+        jnp.max(f_status, axis=-1),
+        jnp.where(g_ok & ~nan_fail, FactorStatus.SUCCESS,
+                  FactorStatus.G_FACTORIZATION_FAILURE).astype(jnp.int32))
+
+    fact = LQRFactorization(V=V, F_chol=F_chol, sqrt_delta=sd,
+                            sqrt_delta_inv=sdi, W=W, K=K, G_chol=G_chol,
+                            status=status)
+    if pad:
+        fact = jax.tree.map(lambda a: a[:Bt], fact)
+    return fact
+
+
+def _supports(data) -> bool:
+    return (data.Q.dtype == jnp.float32 and data.A.shape[-3] >= 2
+            and data.R.shape[-1] >= 1)
+
+
+@custom_vmap
+def factor_chain_pallas(data):
+    """Unbatched fallback: the sequential scan (a single scenario cannot
+    fill the vector unit anyway)."""
+    from .lqr import _factor_chain
+    return _factor_chain(data)
+
+
+@factor_chain_pallas.def_vmap
+def _factor_vmap_rule(axis_size, in_batched, data):
+    from .lqr import _factor_chain
+
+    def bcast(x, batched):
+        return x if batched else jnp.broadcast_to(x, (axis_size,) + x.shape)
+
+    data_b = jax.tree.map(bcast, data, in_batched[0])
+    if not _supports(data_b):
+        fact = jax.vmap(_factor_chain)(data_b)
+    else:
+        interpret = jax.default_backend() != "tpu"
+        fact = _factor_chain_pallas_batched(data_b, interpret=interpret)
+    out_batched = jax.tree.map(lambda _: True, fact)
+    return fact, out_batched
+
+
+# ---------------------------------------------------------------------------
+# solve kernels: backward vector pass + forward rollout
+# ---------------------------------------------------------------------------
+
+def _vec(ref, d):
+    return [ref[0, 0, i] for i in range(d)]
+
+
+def _store_vec(ref, v):
+    for i, x in enumerate(v):
+        ref[0, 0, i] = x
+
+
+def _matvec(a, x):
+    return [functools.reduce(lambda p, q: p + q,
+                             [a[i][k] * x[k] for k in range(len(x))])
+            for i in range(len(a))]
+
+
+def _tri_solve_vec(l, b, transpose):
+    n = len(l)
+    x = [None] * n
+    order = range(n - 1, -1, -1) if transpose else range(n)
+    for i in order:
+        s = b[i]
+        ks = range(i + 1, n) if transpose else range(i)
+        for k in ks:
+            s = s - (l[k][i] if transpose else l[i][k]) * x[k]
+        x[i] = s / l[i][i]
+    return x
+
+
+def _cho_solve_vec(l, b):
+    return _tri_solve_vec(l, _tri_solve_vec(l, b, False), True)
+
+
+def _solve_bwd_kernel(n, m, T,
+                      q_par_ref, q_child_ref, r_ref, c_child_ref,
+                      delta_child_ref, w_ref, g_ref, k_gain_ref,
+                      a_ref, b_ref,
+                      k_out_ref, v_out_ref, v_scratch):
+    """Backward vector pass per edge (reference: lqr.cpp:746-795), carry v."""
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        v_scratch[:] = q_child_ref[0, 0]
+
+    v_c = [v_scratch[i] for i in range(n)]
+    c_c = _vec(c_child_ref, n)
+    delta = _vec(delta_child_ref, n)
+    W = _mat(w_ref, n, n)
+    Lg = _mat(g_ref, m, m)
+    Kg = _mat(k_gain_ref, m, n)
+    A = _mat(a_ref, n, n)
+    B = _mat(b_ref, n, m)
+    r = _vec(r_ref, m)
+
+    f = [delta[i] * v_c[i] - c_c[i] for i in range(n)]
+    Wf = _matvec(W, f)
+    g = [v_c[i] - Wf[i] for i in range(n)]
+    h = [r[i] + functools.reduce(lambda p, q: p + q,
+                                 [B[k][i] * g[k] for k in range(n)])
+         for i in range(m)]
+    k_vec = [-x for x in _cho_solve_vec(Lg, h)]
+    Atg = _matvec(_transpose(A), g)
+    Kth = _matvec(_transpose(Kg), h)
+    q_p = _vec(q_par_ref, n)
+    v_p = [q_p[i] + Atg[i] + Kth[i] for i in range(n)]
+
+    _store_vec(k_out_ref, k_vec)
+    _store_vec(v_out_ref, v_p)
+    for i in range(n):
+        v_scratch[i] = v_p[i]
+
+
+def _solve_fwd_kernel(n, m, T,
+                      x_root_ref, k_ref, k_gain_ref, a_ref, b_ref,
+                      c_child_ref, delta_child_ref, v_child_ref,
+                      vmat_child_ref, fchol_child_ref,
+                      u_out_ref, x_out_ref, y_out_ref, x_scratch):
+    """Forward rollout per edge (reference: lqr.cpp:821-870), carry x."""
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        x_scratch[:] = x_root_ref[0, 0]
+
+    x_p = [x_scratch[i] for i in range(n)]
+    k_vec = _vec(k_ref, m)
+    Kg = _mat(k_gain_ref, m, n)
+    A = _mat(a_ref, n, n)
+    B = _mat(b_ref, n, m)
+    c_c = _vec(c_child_ref, n)
+    delta = _vec(delta_child_ref, n)
+    v_c = _vec(v_child_ref, n)
+    Vc = _mat(vmat_child_ref, n, n)
+    Lf = _mat(fchol_child_ref, n, n)
+
+    u = [k_vec[i] + _matvec(Kg, x_p)[i] for i in range(m)]
+    Ax = _matvec(A, x_p)
+    Bu = _matvec(B, u)
+    rhs = [c_c[i] - delta[i] * v_c[i] + Ax[i] + Bu[i] for i in range(n)]
+    safe = [jnp.where(d > 0, d, 1.0) for d in delta]
+    sd = [jnp.sqrt(s) for s in safe]
+    sdi = [1.0 / s for s in sd]
+    x_c_scaled = _cho_solve_vec(Lf, [sdi[i] * rhs[i] for i in range(n)])
+    x_c = [sd[i] * x_c_scaled[i] for i in range(n)]
+    y_c = [v_c[i] + _matvec(Vc, x_c)[i] for i in range(n)]
+
+    _store_vec(u_out_ref, u)
+    _store_vec(x_out_ref, x_c)
+    _store_vec(y_out_ref, y_c)
+    for i in range(n):
+        x_scratch[i] = x_c[i]
+
+
+def _solve_chain_pallas_batched(data, fact, interpret=False):
+    from .lqr import LQRSolution, _F_inv_apply
+
+    Bt = data.Q.shape[0]
+    T = data.A.shape[1]
+    n = data.Q.shape[-1]
+    m = data.R.shape[-1]
+    dtype = data.Q.dtype
+
+    pad = (-Bt) % _BLK
+    if pad:
+        def pad_leaf(x, inert):
+            filler = jnp.broadcast_to(inert, (pad,) + x.shape[1:])
+            return jnp.concatenate([x, filler.astype(x.dtype)], axis=0)
+        import dataclasses as _dc
+        eye_n = jnp.eye(n, dtype=dtype)
+        eye_m = jnp.eye(m, dtype=dtype)
+        data = _dc.replace(
+            data,
+            Q=pad_leaf(data.Q, eye_n), q=pad_leaf(data.q, jnp.zeros(n, dtype)),
+            c=pad_leaf(data.c, jnp.zeros(n, dtype)),
+            delta=pad_leaf(data.delta, jnp.ones(n, dtype)),
+            A=pad_leaf(data.A, jnp.zeros((n, n), dtype)),
+            B=pad_leaf(data.B, jnp.zeros((n, m), dtype)),
+            M=pad_leaf(data.M, jnp.zeros((n, m), dtype)),
+            R=pad_leaf(data.R, eye_m), r=pad_leaf(data.r, jnp.zeros(m, dtype)))
+        fact = type(fact)(
+            V=pad_leaf(fact.V, eye_n),
+            F_chol=pad_leaf(fact.F_chol, jnp.sqrt(2.0) * eye_n),
+            sqrt_delta=pad_leaf(fact.sqrt_delta, jnp.ones(n, dtype)),
+            sqrt_delta_inv=pad_leaf(fact.sqrt_delta_inv,
+                                    jnp.ones(n, dtype)),
+            W=pad_leaf(fact.W, 0.5 * eye_n),
+            K=pad_leaf(fact.K, jnp.zeros((m, n), dtype)),
+            G_chol=pad_leaf(fact.G_chol, eye_m),
+            status=jnp.concatenate(
+                [fact.status, jnp.zeros((pad,), fact.status.dtype)]))
+
+    Bp = Bt + pad
+    bb = Bp // _BLK
+    grid = (bb, T)
+
+    def spec(rows, idx):
+        return pl.BlockSpec((1, 1, rows, _SUB, _LANE), idx,
+                            memory_space=pltpu.VMEM)
+
+    edge_bwd = lambda rows: spec(rows, lambda b, t: (b, T - 1 - t, 0, 0, 0))
+    child_bwd = lambda rows: spec(rows, lambda b, t: (b, T - t, 0, 0, 0))
+    edge_fwd = lambda rows: spec(rows, lambda b, t: (b, t, 0, 0, 0))
+    child_fwd = lambda rows: spec(rows, lambda b, t: (b, t + 1, 0, 0, 0))
+
+    qt = _to_tiles(data.q, n)
+    rt = _to_tiles(data.r, m)
+    ct = _to_tiles(data.c, n)
+    dt = _to_tiles(data.delta, n)
+    Wt = _to_tiles(fact.W, n * n)
+    Gt = _to_tiles(fact.G_chol, m * m)
+    Kt = _to_tiles(fact.K, m * n)
+    At = _to_tiles(data.A, n * n)
+    Btl = _to_tiles(data.B, n * m)
+
+    k_t, v_par = pl.pallas_call(
+        functools.partial(_solve_bwd_kernel, n, m, T),
+        grid=grid,
+        in_specs=[edge_bwd(n), child_bwd(n), edge_bwd(m), child_bwd(n),
+                  child_bwd(n), edge_bwd(n * n), edge_bwd(m * m),
+                  edge_bwd(m * n), edge_bwd(n * n), edge_bwd(n * m)],
+        out_specs=[edge_bwd(m), edge_bwd(n)],
+        out_shape=[jax.ShapeDtypeStruct((bb, T, m, _SUB, _LANE), dtype),
+                   jax.ShapeDtypeStruct((bb, T, n, _SUB, _LANE), dtype)],
+        scratch_shapes=[pltpu.VMEM((n, _SUB, _LANE), dtype)],
+        interpret=interpret,
+    )(qt, qt, rt, ct, dt, Wt, Gt, Kt, At, Btl)
+
+    v = jnp.concatenate([_from_tiles(v_par), data.q[:, -1:]], axis=1)
+    k_vec = _from_tiles(k_t)
+
+    # root state/costate in one batched XLA op (reference: lqr.cpp:798-819)
+    f_root = data.delta[:, 0] * v[:, 0] - data.c[:, 0]
+    x_root = -_F_inv_apply(fact.F_chol[:, 0], fact.sqrt_delta[:, 0],
+                           fact.sqrt_delta_inv[:, 0], f_root)
+    y_root = v[:, 0] + (fact.V[:, 0] @ x_root[..., None])[..., 0]
+
+    xr_t = _to_tiles(x_root[:, None], n)          # [bb, 1, n, 8, 128]
+    kt2 = _to_tiles(k_vec, m)
+    vt = _to_tiles(v, n)
+    Vmt = _to_tiles(fact.V, n * n)
+    Ft = _to_tiles(fact.F_chol, n * n)
+
+    root_spec = spec(n, lambda b, t: (b, 0, 0, 0, 0))
+    u_t, x_t, y_t = pl.pallas_call(
+        functools.partial(_solve_fwd_kernel, n, m, T),
+        grid=grid,
+        in_specs=[root_spec, edge_fwd(m), edge_fwd(m * n), edge_fwd(n * n),
+                  edge_fwd(n * m), child_fwd(n), child_fwd(n), child_fwd(n),
+                  child_fwd(n * n), child_fwd(n * n)],
+        out_specs=[edge_fwd(m), edge_fwd(n), edge_fwd(n)],
+        out_shape=[jax.ShapeDtypeStruct((bb, T, m, _SUB, _LANE), dtype),
+                   jax.ShapeDtypeStruct((bb, T, n, _SUB, _LANE), dtype),
+                   jax.ShapeDtypeStruct((bb, T, n, _SUB, _LANE), dtype)],
+        scratch_shapes=[pltpu.VMEM((n, _SUB, _LANE), dtype)],
+        interpret=interpret,
+    )(xr_t, kt2, Kt, At, Btl, ct, dt, vt, Vmt, Ft)
+
+    x = jnp.concatenate([x_root[:, None], _from_tiles(x_t)], axis=1)
+    y = jnp.concatenate([y_root[:, None], _from_tiles(y_t)], axis=1)
+    sol = LQRSolution(x=x, u=_from_tiles(u_t), y=y)
+    if pad:
+        sol = jax.tree.map(lambda a: a[:Bt], sol)
+    return sol
+
+
+@custom_vmap
+def solve_chain_pallas(data, fact):
+    """Unbatched fallback: the sequential scan."""
+    from .lqr import _solve_chain
+    return _solve_chain(data, fact)
+
+
+@solve_chain_pallas.def_vmap
+def _solve_vmap_rule(axis_size, in_batched, data, fact):
+    from .lqr import _solve_chain
+
+    def bcast(x, batched):
+        return x if batched else jnp.broadcast_to(x, (axis_size,) + x.shape)
+
+    data_b = jax.tree.map(bcast, data, in_batched[0])
+    fact_b = jax.tree.map(bcast, fact, in_batched[1])
+    if not _supports(data_b):
+        sol = jax.vmap(_solve_chain)(data_b, fact_b)
+    else:
+        interpret = jax.default_backend() != "tpu"
+        sol = _solve_chain_pallas_batched(data_b, fact_b,
+                                          interpret=interpret)
+    out_batched = jax.tree.map(lambda _: True, sol)
+    return sol, out_batched

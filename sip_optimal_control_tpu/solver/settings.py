@@ -82,12 +82,11 @@ class Settings:
     # apply_K operator (the reference exposes its matvec oracles to the SIP
     # core for exactly this, helpers.cpp:953-977)
     iterative_refinement_steps: int = 0
-    # Associative-scan Riccati (chains only): O(log T) sequential depth per
-    # factor/solve instead of O(T) — the long-horizon scaling path (no
-    # analogue in the O(T)-serial reference; SURVEY 2.10(d)).  Measured on
-    # one TPU chip: ~5x faster at horizon 1024 with small batches; large
-    # scenario batches already saturate the vector lanes, so leave this off
-    # for high-throughput batched MPC.
-    parallel_time_riccati: bool = False
+    # Chain-Riccati backend: "scan" (sequential lax.scan; default),
+    # "assoc" (associative-scan, O(log T) depth — ~5x faster at horizon
+    # 1024 with small batches on one chip; SURVEY 2.10(d)), or "pallas"
+    # (fused TPU kernel for large scenario batches).  Trees always use the
+    # level-synchronous recursion.
+    riccati_backend: str = "scan"
     line_search: LineSearchSettings = LineSearchSettings()
     logging: LoggingSettings = LoggingSettings()

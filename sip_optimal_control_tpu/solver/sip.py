@@ -387,8 +387,9 @@ def solve(problem: OCProblem, settings: Settings,
         b = _pack_b(b_x, b_y, b_z, dims.theta_dim, template)
 
         # factor with bounded proximal-inflation retries
-        ptime = settings.parallel_time_riccati and sched.topology.is_chain
-        fact0 = kkt_factor(ev.stage, regs, masks, sched, ptime)
+        rbackend = (settings.riccati_backend if sched.topology.is_chain
+                    else "scan")
+        fact0 = kkt_factor(ev.stage, regs, masks, sched, rbackend)
 
         def retry_cond(carry):
             regs_c, fact_c, k = carry
@@ -405,7 +406,7 @@ def solve(problem: OCProblem, settings: Settings,
                 r1_th=regs_c.r1_th * settings.retry_scale
                 + settings.retry_scale * settings.prox_reg * pmask.theta)
             return (regs_n,
-                    kkt_factor(ev.stage, regs_n, masks, sched, ptime),
+                    kkt_factor(ev.stage, regs_n, masks, sched, rbackend),
                     k + 1)
 
         regs_f, fact, _ = lax.while_loop(
@@ -413,10 +414,10 @@ def solve(problem: OCProblem, settings: Settings,
             (regs, fact0, jnp.int32(0) + 0 * fact0.status))
         factor_failed = fact.status != 0
 
-        sol = kkt_solve(fact, ev.stage, b, sched, ptime)
+        sol = kkt_solve(fact, ev.stage, b, sched, rbackend)
         for _ in range(settings.iterative_refinement_steps):
             resid = b - apply_K(ev.stage, regs_f, sol, sched)
-            sol = sol + kkt_solve(fact, ev.stage, resid, sched, ptime)
+            sol = sol + kkt_solve(fact, ev.stage, resid, sched, rbackend)
         dv = _primal_of(sol)
         dy = _y_of(sol)
         dz = _z_of(sol)

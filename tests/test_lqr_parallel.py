@@ -118,7 +118,7 @@ def test_parallel_factor_matches_sequential():
     data = random_chain(T, n, m, rng)
     sched = compile_topology(Topology.chain(T))
     f_seq = lqr_factor(data, sched)
-    f_par = lqr_factor(data, sched, parallel_time=True)
+    f_par = lqr_factor(data, sched, backend="assoc")
     assert int(f_par.status) == FactorStatus.SUCCESS
     np.testing.assert_allclose(np.asarray(f_par.V), np.asarray(f_seq.V),
                                rtol=1e-8, atol=1e-8)
@@ -135,7 +135,7 @@ def test_parallel_solve_matches_sequential_and_residual():
         sched = compile_topology(Topology.chain(T))
         sol_seq, st_seq = lqr_factor_solve(data, sched)
         sol_par, st_par = jax.jit(
-            lambda d: lqr_factor_solve(d, sched, parallel_time=True))(data)
+            lambda d: lqr_factor_solve(d, sched, backend="assoc"))(data)
         assert int(st_par) == FactorStatus.SUCCESS
         np.testing.assert_allclose(np.asarray(sol_par.x),
                                    np.asarray(sol_seq.x), atol=1e-7)
@@ -153,11 +153,11 @@ def test_mixed_paths_share_factorization():
     T, n, m = 10, 3, 2
     data = random_chain(T, n, m, rng)
     sched = compile_topology(Topology.chain(T))
-    f_par = lqr_factor(data, sched, parallel_time=True)
+    f_par = lqr_factor(data, sched, backend="assoc")
     sol = lqr_solve(data, f_par, sched)              # sequential solve
     assert float(lqr_residual_norm(data, sol, sched)) < 1e-9
     f_seq = lqr_factor(data, sched)
-    sol2 = lqr_solve(data, f_seq, sched, parallel_time=True)
+    sol2 = lqr_solve(data, f_seq, sched, backend="assoc")
     assert float(lqr_residual_norm(data, sol2, sched)) < 1e-9
 
 
@@ -168,9 +168,9 @@ def test_parallel_vmap_batching():
     datas = [random_chain(T, n, m, rng) for _ in range(B)]
     batch = jax.tree.map(lambda *xs: jnp.stack(xs), *datas)
     sols, stats = jax.vmap(
-        lambda d: lqr_factor_solve(d, sched, parallel_time=True))(batch)
+        lambda d: lqr_factor_solve(d, sched, backend="assoc"))(batch)
     for i in range(B):
-        sol_i, _ = lqr_factor_solve(datas[i], sched, parallel_time=True)
+        sol_i, _ = lqr_factor_solve(datas[i], sched, backend="assoc")
         np.testing.assert_allclose(np.asarray(sols.x[i]),
                                    np.asarray(sol_i.x), atol=1e-9)
     assert np.all(np.asarray(stats) == FactorStatus.SUCCESS)
@@ -185,11 +185,11 @@ def test_parallel_failure_statuses():
     import dataclasses
     bad_R = dataclasses.replace(
         data, R=data.R.at[2].set(-jnp.eye(m)))
-    f = lqr_factor(bad_R, sched, parallel_time=True)
+    f = lqr_factor(bad_R, sched, backend="assoc")
     assert int(f.status) == FactorStatus.G_FACTORIZATION_FAILURE
     # invalid delta propagates (reference: lqr.cpp:722-727)
     bad_d = dataclasses.replace(data, delta=data.delta.at[1, 0].set(-1.0))
-    f = lqr_factor(bad_d, sched, parallel_time=True)
+    f = lqr_factor(bad_d, sched, backend="assoc")
     assert int(f.status) != FactorStatus.SUCCESS
 
 
@@ -207,7 +207,7 @@ def test_full_sip_solve_with_parallel_riccati():
                             lower=lower, upper=upper)
     res_seq = solve(problem, Settings(max_iterations=40))
     res_par = solve(problem, Settings(max_iterations=40,
-                                      parallel_time_riccati=True))
+                                      riccati_backend="assoc"))
     assert int(res_seq.status) == 0 and int(res_par.status) == 0
     np.testing.assert_allclose(np.asarray(res_par.vars.u),
                                np.asarray(res_seq.vars.u), atol=1e-6)
