@@ -101,13 +101,12 @@ def build_problem(spec: ModelSpec, dims: Dimensions, topology: Topology,
                   init_mode: str = "constant") -> OCProblem:
     """Assemble an OCProblem with autodiff derivative evaluation.
 
-    Currently requires uniform stage dimensions (the padding plan for
-    variable dims lives at the LQR/KKT level; hand-built StageModelData can
-    express those)."""
-    if not dims.is_uniform:
-        raise NotImplementedError(
-            "autodiff front door requires uniform dims; supply a custom "
-            "eval_model for variable-dimension problems")
+    Variable stage dimensions (BASELINE config 2; reference:
+    tests/variable_dimensions_test.cpp) are handled by padding: the user's
+    stage functions are written on max-dim padded arrays (dead input
+    entries arrive as zeros; dead output rows are ignored), and every
+    residual/Jacobian/Hessian row and column beyond a stage's declared
+    dimension is masked out here before the solver sees it."""
     sched = compile_topology(topology)
     masks = ConstraintMasks.build(dims)
     N, E = dims.num_nodes, dims.num_edges
@@ -122,6 +121,28 @@ def build_problem(spec: ModelSpec, dims: Dimensions, topology: Topology,
     node_ids = jnp.arange(N)
     edge_ids = jnp.arange(E)
     initial_state = jnp.asarray(initial_state)
+    if initial_state.shape[-1] < n:        # pad to max state dim
+        initial_state = jnp.concatenate(
+            [initial_state,
+             jnp.zeros(initial_state.shape[:-1]
+                       + (n - initial_state.shape[-1],),
+                       initial_state.dtype)], axis=-1)
+
+    # trace-time masks for variable dims (all-ones when uniform)
+    uniform = dims.is_uniform
+    ftype = jnp.result_type(float)
+    sm = jnp.asarray(masks.state, ftype)           # [N, n]
+    cm = jnp.asarray(masks.control, ftype)         # [E, m]
+    sm_child = sm[child]
+    sm_par = sm[parent]
+    ncm = jnp.asarray(masks.nc, ftype)
+    ecm = jnp.asarray(masks.ec, ftype)
+    ngm = jnp.asarray(masks.ng, ftype)
+    egm = jnp.asarray(masks.eg, ftype)
+
+    def mrow(a, rmask):
+        """Mask leading output rows: a [S, r, ...] * rmask [S, r]."""
+        return a * rmask.reshape(rmask.shape + (1,) * (a.ndim - rmask.ndim))
 
     node_cost = spec.node_cost or (lambda x, th, i: jnp.asarray(0.0))
     edge_cost = spec.edge_cost or (lambda x, u, th, i: jnp.asarray(0.0))
@@ -146,17 +167,20 @@ def build_problem(spec: ModelSpec, dims: Dimensions, topology: Topology,
         dyn_pred = jax.vmap(spec.dynamics, (0, 0, None, 0))(
             x_par, vars.u, th, edge_ids)
         dyn_res = dyn_pred - vars.x[child]
+        nc = jax.vmap(node_eq, (0, None, 0))(vars.x, th, node_ids)
+        ec = jax.vmap(edge_eq, (0, 0, None, 0))(x_par, vars.u, th, edge_ids)
+        gn = jax.vmap(node_ineq, (0, None, 0))(vars.x, th, node_ids)
+        ge = jax.vmap(edge_ineq, (0, 0, None, 0))(x_par, vars.u, th,
+                                                  edge_ids)
+        root_res = initial_state - vars.x[root]
+        if not uniform:
+            dyn_res = dyn_res * sm_child
+            root_res = root_res * sm[root]
+            nc, ec, gn, ge = nc * ncm, ec * ecm, gn * ngm, ge * egm
         c_dyn = jnp.zeros_like(vars.x)
-        c_dyn = c_dyn.at[root].set(initial_state - vars.x[root])
+        c_dyn = c_dyn.at[root].set(root_res)
         c_dyn = c_dyn.at[child].set(dyn_res)
-        c = YVec(dyn=c_dyn,
-                 nc=jax.vmap(node_eq, (0, None, 0))(vars.x, th, node_ids),
-                 ec=jax.vmap(edge_eq, (0, 0, None, 0))(x_par, vars.u, th,
-                                                       edge_ids))
-        g = ZVec(n=jax.vmap(node_ineq, (0, None, 0))(vars.x, th, node_ids),
-                 e=jax.vmap(edge_ineq, (0, 0, None, 0))(x_par, vars.u, th,
-                                                        edge_ids))
-        return f, c, g
+        return f, YVec(dyn=c_dyn, nc=nc, ec=ec), ZVec(n=gn, e=ge)
 
     # ----- stage Lagrangians (for Hessian blocks) -------------------------
     def node_lagrangian(x, th, i, y_nc, z_n):
@@ -188,6 +212,8 @@ def build_problem(spec: ModelSpec, dims: Dimensions, topology: Topology,
         grad_x = grad_x.at[parent].add(dec[0])
         grad_u = dec[1]
         grad_th = jnp.sum(dnc[1], axis=0) + jnp.sum(dec[2], axis=0)
+        if not uniform:
+            grad_x, grad_u = grad_x * sm, grad_u * cm
         grad = Primal(x=grad_x, u=grad_u, theta=grad_th)
 
         # constraint Jacobians
@@ -226,6 +252,39 @@ def build_problem(spec: ModelSpec, dims: Dimensions, topology: Topology,
             Jg_th_node=Jg_n[1], Jg_th_edge=Jg_e[2],
             Hxth_node=Hn[0][1], Hxth_edge=He[0][2], Huth_edge=He[1][2],
             Hthth_node=Hn[1][1], Hthth_edge=He[2][2])
+
+        if not uniform:
+            # zero every derivative row/column beyond the stage's declared
+            # dims, so the KKT operators and condensation see exactly the
+            # reference's per-stage blocks (types.cpp uses exact sizes;
+            # here dead entries are identically zero instead)
+            def m2(a, r, c_):
+                return a * r[..., :, None] * c_[..., None, :]
+            stage = dataclasses.replace(
+                stage,
+                df_dx_node=stage.df_dx_node * sm,
+                df_dx_edge=stage.df_dx_edge * sm_par,
+                df_du=stage.df_du * cm,
+                A=m2(stage.A, sm_child, sm_par),
+                B=m2(stage.B, sm_child, cm),
+                Jc_x_node=m2(stage.Jc_x_node, ncm, sm),
+                Jc_x_edge=m2(stage.Jc_x_edge, ecm, sm_par),
+                Jc_u_edge=m2(stage.Jc_u_edge, ecm, cm),
+                Jg_x_node=m2(stage.Jg_x_node, ngm, sm),
+                Jg_x_edge=m2(stage.Jg_x_edge, egm, sm_par),
+                Jg_u_edge=m2(stage.Jg_u_edge, egm, cm),
+                Hxx_node=m2(stage.Hxx_node, sm, sm),
+                Hxx_edge=m2(stage.Hxx_edge, sm_par, sm_par),
+                Hxu_edge=m2(stage.Hxu_edge, sm_par, cm),
+                Huu_edge=m2(stage.Huu_edge, cm, cm),
+                ddyn_dtheta=mrow(stage.ddyn_dtheta, sm_child),
+                Jc_th_node=mrow(stage.Jc_th_node, ncm),
+                Jc_th_edge=mrow(stage.Jc_th_edge, ecm),
+                Jg_th_node=mrow(stage.Jg_th_node, ngm),
+                Jg_th_edge=mrow(stage.Jg_th_edge, egm),
+                Hxth_node=mrow(stage.Hxth_node, sm),
+                Hxth_edge=mrow(stage.Hxth_edge, sm_par),
+                Huth_edge=mrow(stage.Huth_edge, cm))
 
         return ModelEval(f=f, grad=grad, c=c, g=g, stage=stage)
 
