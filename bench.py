@@ -47,6 +47,8 @@ def main():
     parser.add_argument("--horizon", type=int, default=50)
     parser.add_argument("--mode", choices=["mpc", "cold"], default="mpc")
     parser.add_argument("--warm-iters", type=int, default=12)
+    parser.add_argument("--warm-mu", type=float, default=1e-4,
+                        help="barrier restart for warm-started re-solves")
     parser.add_argument("--cold-iters", type=int, default=100)
     parser.add_argument("--warmup-steps", type=int, default=20,
                         help="untimed MPC steps before the timed region")
@@ -67,7 +69,8 @@ def main():
     f32 = dict(tol=args.tol, mu_min=1e-5, reg_floor=1e-5, prox_reg=1e-5,
                riccati_backend=args.backend)
     cold_settings = Settings(max_iterations=args.cold_iters, **f32)
-    warm_settings = Settings(max_iterations=args.warm_iters, **f32)
+    warm_settings = Settings(max_iterations=args.warm_iters,
+                             mu_init=args.warm_mu, **f32)
 
     rng = np.random.default_rng(0)
     x0s = np.tile(np.asarray(x0, np.float32), (args.batch, 1))
