@@ -23,6 +23,10 @@ class SIPStatus(enum.IntEnum):
     SOLVED = 0
     MAX_ITERATIONS = 1
     FACTORIZATION_FAILURE = 2
+    # KKT error exceeded Settings.diverged_kkt: the iterates are running
+    # away, typically an infeasible problem (equality multipliers blow up
+    # while primal steps collapse)
+    DIVERGED = 3
     # internal sentinel while iterating
     RUNNING = 99
 
@@ -73,6 +77,7 @@ class Settings:
     max_factor_retries: int = 3
     retry_scale: float = 100.0
     # safeguards
+    diverged_kkt: float = 1e10  # declare DIVERGED above this KKT error
     kappa_sigma: float = 1e10  # z-reset corridor around mu/s
     bound_push: float = 1e-2   # initial interior push for bounded variables
     # Absolute slack floor.  0 disables: the fraction-to-boundary rule keeps

@@ -561,15 +561,29 @@ def solve(problem: OCProblem, settings: Settings,
                 "alpha={al:.2e} alphad={ad:.2e} nu={nu:.1e} st={fs}",
                 it=st.it, f=ev.f, e0=e0, mu=st.mu, al=alpha, ad=alpha_d,
                 nu=nu, fs=fact.status)
+        if settings.logging.print_search_direction_logs:
+            jax.debug.print(
+                "  dir: |dx|={dx:.3e} |dy|={dy:.3e} |dz|={dz:.3e} "
+                "alpha_max={am:.3e} retries_status={fs}",
+                dx=_tinf(dv), dy=_tinf(dy), dz=_tinf(dz), am=alpha_p,
+                fs=fact.status)
+        if settings.logging.print_line_search_logs:
+            jax.debug.print(
+                "  ls: alpha={al:.3e} phi0={p0:.6e} slope={sl:.3e} "
+                "theta0={th:.3e} nu={nu:.2e}",
+                al=alpha, p0=phi0, sl=slope, th=theta0, nu=nu)
 
         it_n = st.it + 1
+        diverged = e0 > settings.diverged_kkt
         new_status = jnp.where(
             converged, jnp.int32(SIPStatus.SOLVED),
             jnp.where(factor_failed,
                       jnp.int32(SIPStatus.FACTORIZATION_FAILURE),
-                      jnp.where(it_n >= settings.max_iterations,
-                                jnp.int32(SIPStatus.MAX_ITERATIONS),
-                                jnp.int32(SIPStatus.RUNNING))))
+                      jnp.where(diverged, jnp.int32(SIPStatus.DIVERGED),
+                                jnp.where(
+                                    it_n >= settings.max_iterations,
+                                    jnp.int32(SIPStatus.MAX_ITERATIONS),
+                                    jnp.int32(SIPStatus.RUNNING)))))
 
         # freeze the state once converged/failed
         def sel(new, old):

@@ -133,3 +133,54 @@ def test_binary_scenario_tree_with_bounds():
     assert int(res.status) == SIPStatus.SOLVED
     u = np.asarray(res.vars.u)
     assert np.all(np.abs(u) <= 2.0 + 1e-8)
+
+
+def test_infeasible_problem_reports_diverged():
+    """An unreachable terminal equality under tight input bounds makes the
+    equality multipliers blow up; the solver must report DIVERGED instead
+    of burning max_iterations (no analogue in the reference's visible
+    interface — sip::Status is only observed as SOLVED there)."""
+    from sip_optimal_control_tpu import box_bounds
+    T, dt = 5, 0.1
+
+    spec = ModelSpec(
+        dynamics=lambda x, u, th, i: jnp.stack(
+            [x[0] + dt * x[1], x[1] + dt * u[0]]),
+        node_cost=lambda x, th, i: 0.5 * jnp.sum(x ** 2),
+        edge_cost=lambda x, u, th, i: 0.05 * jnp.sum(u ** 2),
+        node_eq=lambda x, th, i: jnp.where(i == T, x[0] - 0.1, 0.0)[None],
+    )
+    dims = Dimensions.uniform(num_edges=T, state_dim=2, control_dim=1,
+                              node_c_dim=1)
+    lower, upper = box_bounds(dims, u_lower=-3.0, u_upper=3.0)
+    problem = build_problem(spec, dims, Topology.chain(T),
+                            initial_state=jnp.asarray([1.0, 0.0]),
+                            lower=lower, upper=upper)
+    res = jax.jit(lambda: solve(problem, Settings(
+        max_iterations=200, diverged_kkt=1e4)))()
+    assert int(res.status) == SIPStatus.DIVERGED
+    assert int(res.iterations) < 200
+
+
+def test_logging_flags_smoke(capfd):
+    """All four logging channels print without breaking tracing
+    (reference flags: variable_dimensions_test.cpp:429-432)."""
+    from sip_optimal_control_tpu.solver.settings import LoggingSettings
+    T = 3
+    spec = ModelSpec(
+        dynamics=lambda x, u, th, i: jnp.stack(
+            [x[0] + 0.1 * x[1], x[1] + 0.1 * u[0]]),
+        node_cost=lambda x, th, i: 0.5 * jnp.sum(x ** 2),
+        edge_cost=lambda x, u, th, i: 0.05 * jnp.sum(u ** 2),
+    )
+    dims = Dimensions.uniform(num_edges=T, state_dim=2, control_dim=1)
+    problem = build_problem(spec, dims, Topology.chain(T),
+                            initial_state=jnp.asarray([1.0, 0.0]))
+    res = solve(problem, Settings(
+        max_iterations=10,
+        logging=LoggingSettings(print_logs=True, print_line_search_logs=True,
+                                print_search_direction_logs=True)))
+    jax.block_until_ready(res.vars.x)
+    assert int(res.status) == SIPStatus.SOLVED
+    out, _ = capfd.readouterr()
+    assert "E0=" in out and "dir:" in out and "ls:" in out
