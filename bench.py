@@ -20,7 +20,8 @@ import time
 import numpy as np
 
 
-def build_mpc_step(spec, dims, topo, lower, upper, settings):
+def build_mpc_step(spec, dims, topo, lower, upper, settings,
+                   hessian_mode="exact"):
     import jax
     import jax.numpy as jnp
     from sip_optimal_control_tpu import build_problem, solve
@@ -30,7 +31,8 @@ def build_mpc_step(spec, dims, topo, lower, upper, settings):
 
     def one(x0, warm_vars, warm_y):
         problem = build_problem(spec, dims, topo, initial_state=x0,
-                                lower=lower, upper=upper)
+                                lower=lower, upper=upper,
+                                hessian_mode=hessian_mode)
         res = solve(problem, settings, init_vars=warm_vars, init_y=warm_y)
         u0 = res.vars.u[0]
         x_next = spec.dynamics(x0, u0, theta0, 0)
@@ -55,6 +57,8 @@ def main():
     parser.add_argument("--tol", type=float, default=1e-3)
     parser.add_argument("--backend", choices=["scan", "assoc", "pallas"],
                         default="pallas", help="chain-Riccati backend")
+    parser.add_argument("--hessian", choices=["exact", "gauss_newton"],
+                        default="exact")
     parser.add_argument("--reps", type=int, default=10)
     parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args()
@@ -81,7 +85,8 @@ def main():
     if args.mode == "cold":
         def cold_one(x0_i):
             problem = build_problem(spec, dims, topo, initial_state=x0_i,
-                                    lower=lower, upper=upper)
+                                    lower=lower, upper=upper,
+                                    hessian_mode=args.hessian)
             res = solve(problem, cold_settings)
             return res.vars.u, res.status, res.iterations, res.kkt_error
         jfn = jax.jit(jax.vmap(cold_one))
@@ -98,9 +103,9 @@ def main():
     else:
         # untimed cold phase -> warm-start state
         cold_step = build_mpc_step(spec, dims, topo, lower, upper,
-                                   cold_settings)
+                                   cold_settings, args.hessian)
         warm_step = build_mpc_step(spec, dims, topo, lower, upper,
-                                   warm_settings)
+                                   warm_settings, args.hessian)
         from sip_optimal_control_tpu.solver.sip import Primal, YVec
         N, E = dims.num_nodes, dims.num_edges
         n, m = dims.max_state_dim, dims.max_control_dim

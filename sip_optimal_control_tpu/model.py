@@ -98,7 +98,8 @@ def build_problem(spec: ModelSpec, dims: Dimensions, topology: Topology,
                   upper: Optional[Primal] = None,
                   scale_dual: float = 1.0, scale_equality: float = 1.0,
                   scale_bound: float = 1.0,
-                  init_mode: str = "constant") -> OCProblem:
+                  init_mode: str = "constant",
+                  hessian_mode: str = "exact") -> OCProblem:
     """Assemble an OCProblem with autodiff derivative evaluation.
 
     Variable stage dimensions (BASELINE config 2; reference:
@@ -106,7 +107,14 @@ def build_problem(spec: ModelSpec, dims: Dimensions, topology: Topology,
     stage functions are written on max-dim padded arrays (dead input
     entries arrive as zeros; dead output rows are ignored), and every
     residual/Jacobian/Hessian row and column beyond a stage's declared
-    dimension is masked out here before the solver sees it."""
+    dimension is masked out here before the solver sees it.
+
+    ``hessian_mode``: "exact" differentiates the full stage Lagrangian
+    (the reference's callback contract, types.hpp:48-126 — constraint and
+    dynamics curvature included); "gauss_newton" keeps only the objective's
+    Hessian blocks — exact for quadratic costs, cheaper to evaluate (no
+    second-order autodiff through dynamics/constraints), and often more
+    robust far from the solution (the classic real-time-MPC choice)."""
     sched = compile_topology(topology)
     masks = ConstraintMasks.build(dims)
     N, E = dims.num_nodes, dims.num_edges
@@ -193,8 +201,18 @@ def build_problem(spec: ModelSpec, dims: Dimensions, topology: Topology,
                 + jnp.dot(y_ec, edge_eq(xp, u, th, i))
                 + jnp.dot(z_e, edge_ineq(xp, u, th, i)))
 
-    node_hess = jax.hessian(node_lagrangian, argnums=(0, 1))
-    edge_hess = jax.hessian(edge_lagrangian, argnums=(0, 1, 2))
+    if hessian_mode == "gauss_newton":
+        node_hess = jax.hessian(
+            lambda x, th, i, y_nc, z_n: node_cost(x, th, i),
+            argnums=(0, 1))
+        edge_hess = jax.hessian(
+            lambda xp, u, th, i, y_dyn, y_ec, z_e: edge_cost(xp, u, th, i),
+            argnums=(0, 1, 2))
+    elif hessian_mode == "exact":
+        node_hess = jax.hessian(node_lagrangian, argnums=(0, 1))
+        edge_hess = jax.hessian(edge_lagrangian, argnums=(0, 1, 2))
+    else:
+        raise ValueError(f"unknown hessian_mode {hessian_mode!r}")
 
     def eval_model(vars: Primal, y: YVec, z: ZVec) -> ModelEval:
         th = vars.theta

@@ -184,3 +184,29 @@ def test_logging_flags_smoke(capfd):
     assert int(res.status) == SIPStatus.SOLVED
     out, _ = capfd.readouterr()
     assert "E0=" in out and "dir:" in out and "ls:" in out
+
+
+def test_gauss_newton_hessian_mode():
+    """hessian_mode='gauss_newton' (objective curvature only — the
+    real-time-MPC choice; the reference's callback contract lets users fill
+    any Hessian approximation, types.hpp:48-126) reaches the same optimum
+    as the exact Lagrangian Hessian on a smooth problem."""
+    T = 8
+    spec = ModelSpec(
+        dynamics=lambda x, u, th, i: jnp.stack(
+            [x[0] + 0.1 * x[1], x[1] + 0.1 * jnp.sin(u[0])]),
+        node_cost=lambda x, th, i: 0.5 * jnp.sum(x ** 2),
+        edge_cost=lambda x, u, th, i: 0.05 * jnp.sum(u ** 2),
+    )
+    dims = Dimensions.uniform(num_edges=T, state_dim=2, control_dim=1)
+    x0 = jnp.asarray([0.8, 0.0])
+    p_ex = build_problem(spec, dims, Topology.chain(T), initial_state=x0,
+                         hessian_mode="exact")
+    p_gn = build_problem(spec, dims, Topology.chain(T), initial_state=x0,
+                         hessian_mode="gauss_newton")
+    r_ex = jax.jit(lambda: solve(p_ex, Settings(max_iterations=80)))()
+    r_gn = jax.jit(lambda: solve(p_gn, Settings(max_iterations=80)))()
+    assert int(r_ex.status) == SIPStatus.SOLVED
+    assert int(r_gn.status) == SIPStatus.SOLVED
+    np.testing.assert_allclose(np.asarray(r_gn.vars.u),
+                               np.asarray(r_ex.vars.u), atol=1e-6)
