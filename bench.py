@@ -47,7 +47,8 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch", type=int, default=4096)
     parser.add_argument("--horizon", type=int, default=50)
-    parser.add_argument("--mode", choices=["mpc", "cold"], default="mpc")
+    parser.add_argument("--mode", choices=["mpc", "cold", "latency"],
+                        default="mpc")
     parser.add_argument("--warm-iters", type=int, default=12)
     parser.add_argument("--warm-mu", type=float, default=1e-4,
                         help="barrier restart for warm-started re-solves")
@@ -81,6 +82,39 @@ def main():
     x0s[:, 0] += 0.1 * rng.standard_normal(args.batch).astype(np.float32)
     x0s[:, 2] += 0.1 * rng.standard_normal(args.batch).astype(np.float32)
     x0s = jnp.asarray(x0s)
+
+    if args.mode == "latency":
+        # p50 single-solve latency (batch 1, warm-started steady state) —
+        # the real-time-MPC number BASELINE also tracks.  NOTE: through the
+        # remote-TPU tunnel each dispatch carries ~20 ms fixed RPC latency
+        # (batch 4096 takes only ~31 ms total); on a locally attached chip
+        # this number is dominated by actual compute instead
+        warm_step = build_mpc_step(spec, dims, topo, lower, upper,
+                                   warm_settings, args.hessian)
+        cold_step = build_mpc_step(spec, dims, topo, lower, upper,
+                                   cold_settings, args.hessian)
+        x1 = x0s[:1]
+        state = jax.block_until_ready(cold_step(x1, None, None))[:3]
+        for _ in range(args.warmup_steps):
+            state = jax.block_until_ready(warm_step(*state))[:3]
+        times = []
+        for _ in range(max(args.reps, 21)):
+            t0 = time.time()
+            out = jax.block_until_ready(warm_step(*state))
+            times.append(time.time() - t0)
+        p50_ms = float(np.median(times) * 1e3)
+        if args.verbose:
+            print(f"# backend={jax.default_backend()} "
+                  f"best={min(times) * 1e3:.3f}ms p50={p50_ms:.3f}ms",
+                  file=sys.stderr)
+        print(json.dumps({
+            "metric": f"p50_warm_solve_latency_ms_h{args.horizon}",
+            "value": round(p50_ms, 3),
+            "unit": "ms",
+            # budget: a 100 Hz real-time MPC loop (10 ms per solve)
+            "vs_baseline": round(10.0 / max(p50_ms, 1e-9), 4),
+        }))
+        return
 
     if args.mode == "cold":
         def cold_one(x0_i):
