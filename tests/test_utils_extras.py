@@ -68,3 +68,56 @@ def test_iterative_refinement():
     res = jax.jit(lambda: solve(problem, st))()
     assert int(res.status) == SIPStatus.SOLVED
     assert float(res.kkt_error) < 1e-8
+
+
+def test_warm_start_checkpoint_round_trip(tmp_path):
+    """save_warm_start/load_warm_start resumes a solve across processes:
+    the resumed solve is bit-identical to the in-memory warm start."""
+    from sip_optimal_control_tpu.utils import (load_warm_start,
+                                               save_warm_start)
+
+    spec, dims, topo = _nonlinear_problem()
+    problem = build_problem(spec, dims, topo, initial_state=jnp.asarray(
+        [0.4, -0.2]))
+    st = Settings(max_iterations=40)
+    res = jax.jit(lambda: solve(problem, st))()
+    assert int(res.status) == SIPStatus.SOLVED
+
+    path = str(tmp_path / "warm.npz")
+    save_warm_start(path, res.vars, res.y)
+    loaded_vars, loaded_y = load_warm_start(path)
+    np.testing.assert_array_equal(np.asarray(res.vars.x), loaded_vars.x)
+    np.testing.assert_array_equal(np.asarray(res.y.ec), loaded_y.ec)
+
+    st2 = Settings(max_iterations=10, mu_init=1e-4)
+    resume = solve(problem, st2, init_vars=jax.tree.map(jnp.asarray,
+                                                        loaded_vars),
+                   init_y=jax.tree.map(jnp.asarray, loaded_y))
+    mem = solve(problem, st2, init_vars=res.vars, init_y=res.y)
+    assert int(resume.status) == SIPStatus.SOLVED
+    np.testing.assert_allclose(np.asarray(resume.vars.u),
+                               np.asarray(mem.vars.u), rtol=0, atol=0)
+
+
+def test_warm_start_checkpoint_batched_and_invalid(tmp_path):
+    from sip_optimal_control_tpu.utils import (load_warm_start,
+                                               save_warm_start)
+
+    B, N, E = 3, 5, 4
+    vars = Primal(x=jnp.ones((B, N, 2)), u=jnp.zeros((B, E, 1)),
+                  theta=jnp.zeros((B, 0)))
+    y = YVec(dyn=jnp.ones((B, N, 2)), nc=jnp.zeros((B, N, 0)),
+             ec=jnp.zeros((B, E, 1)))
+    path = str(tmp_path / "batched.npz")
+    save_warm_start(path, vars, y)
+    lv, ly = load_warm_start(path)
+    assert lv.x.shape == (B, N, 2) and ly.dyn.shape == (B, N, 2)
+
+    bad = str(tmp_path / "bad.npz")
+    np.savez(bad, x=np.zeros(3))
+    try:
+        load_warm_start(bad)
+        raised = False
+    except ValueError:
+        raised = True
+    assert raised
