@@ -21,9 +21,10 @@ import numpy as np
 
 
 def build_mpc_step(spec, dims, topo, lower, upper, settings,
-                   hessian_mode="exact"):
+                   hessian_mode="exact", steps_per_call=1):
     import jax
     import jax.numpy as jnp
+    from jax import lax
     from sip_optimal_control_tpu import build_problem, solve
     from sip_optimal_control_tpu.mpc import _shift_warm_start
 
@@ -40,7 +41,23 @@ def build_mpc_step(spec, dims, topo, lower, upper, settings,
         return (x_next, next_vars, next_y, res.status, res.iterations,
                 res.kkt_error)
 
-    return jax.jit(jax.vmap(one))
+    if steps_per_call == 1:
+        return jax.jit(jax.vmap(one))
+
+    # Scan steps_per_call receding-horizon steps inside one dispatch (the
+    # production MPC loop stays on device, cf. mpc.run_mpc); this amortizes
+    # the fixed per-dispatch cost — essential through the remote-TPU tunnel,
+    # whose ~20 ms RPC otherwise dominates a ~17 ms batch step.
+    def many(x0, warm_vars, warm_y):
+        def body(carry, _):
+            x, wv, wy = carry
+            out = jax.vmap(one)(x, wv, wy)
+            return out[:3], out[3:]
+        (x, wv, wy), (statuses, iters, kkts) = lax.scan(
+            body, (x0, warm_vars, warm_y), None, length=steps_per_call)
+        return x, wv, wy, statuses[-1], iters[-1], kkts[-1]
+
+    return jax.jit(many)
 
 
 def main():
@@ -55,6 +72,9 @@ def main():
     parser.add_argument("--cold-iters", type=int, default=100)
     parser.add_argument("--warmup-steps", type=int, default=20,
                         help="untimed MPC steps before the timed region")
+    parser.add_argument("--steps-per-call", type=int, default=10,
+                        help="MPC steps scanned inside one dispatch (mpc "
+                        "mode): amortizes fixed per-dispatch cost")
     parser.add_argument("--tol", type=float, default=1e-3)
     parser.add_argument("--backend", choices=["scan", "assoc", "pallas"],
                         default="pallas", help="chain-Riccati backend")
@@ -139,7 +159,8 @@ def main():
         cold_step = build_mpc_step(spec, dims, topo, lower, upper,
                                    cold_settings, args.hessian)
         warm_step = build_mpc_step(spec, dims, topo, lower, upper,
-                                   warm_settings, args.hessian)
+                                   warm_settings, args.hessian,
+                                   steps_per_call=args.steps_per_call)
         from sip_optimal_control_tpu.solver.sip import Primal, YVec
         N, E = dims.num_nodes, dims.num_edges
         n, m = dims.max_state_dim, dims.max_control_dim
@@ -154,8 +175,9 @@ def main():
         x_c, wv, wy, statuses, iters, kkt = jax.block_until_ready(
             cold_step(x0s, None, None))
         # advance the receding horizon (untimed) to a representative state
+        # (warmup_steps counts MPC steps, not dispatches)
         state = (x_c, wv, wy)
-        for _ in range(args.warmup_steps):
+        for _ in range(-(-args.warmup_steps // args.steps_per_call)):
             out = jax.block_until_ready(warm_step(*state))
             state = out[:3]
         compile_time = time.time() - t0
@@ -171,7 +193,9 @@ def main():
         metric = f"batched_mpc_solves_per_sec_per_chip_h{args.horizon}"
 
     t_best = min(times)
-    solves_per_sec = args.batch / t_best
+    solves_per_call = args.batch * (args.steps_per_call
+                                    if args.mode == "mpc" else 1)
+    solves_per_sec = solves_per_call / t_best
     solved_frac = float(np.mean(np.asarray(statuses) == 0))
 
     if args.verbose:

@@ -169,7 +169,12 @@ class _IPMState(NamedTuple):
     it: jax.Array
     status: jax.Array
     kkt_error: jax.Array
-    f: jax.Array
+    # model evaluation AT the current iterate (vars, y, z).  Carrying it in
+    # the loop state lets the body test convergence at the END of each step,
+    # so a k-step solve costs k factor/solves instead of k+1 (the extra
+    # trip existed only to discover convergence) and needs no post-loop
+    # re-evaluation — the dominant saving for warm-started MPC re-solves.
+    ev: ModelEval
     # filter line-search memory: (theta, phi) pairs, one slot per iteration
     filt_th: jax.Array
     filt_ph: jax.Array
@@ -283,11 +288,10 @@ def solve(problem: OCProblem, settings: Settings,
         nu=jnp.asarray(ls.nu_min, dtype) + vzero,
         it=jnp.int32(0) + vzero.astype(jnp.int32),
         status=jnp.int32(SIPStatus.RUNNING) + vzero.astype(jnp.int32),
-        kkt_error=jnp.asarray(jnp.inf, dtype) + vzero, f=f0,
+        kkt_error=jnp.asarray(jnp.inf, dtype) + vzero,
+        ev=None,  # filled below
         filt_th=jnp.full((settings.max_iterations,), jnp.inf, dtype),
         filt_ph=jnp.full((settings.max_iterations,), jnp.inf, dtype))
-    # propagate varying-ness to every carry leaf (see vzero note above)
-    state0 = jax.tree.map(lambda a: a + vzero.astype(a.dtype), state0)
 
     # ----- residuals and errors -------------------------------------------
     def kkt_residuals(vars, s, y, z, zl, zu, ev: ModelEval):
@@ -318,6 +322,20 @@ def solve(problem: OCProblem, settings: Settings,
 
         return stat, r_ineq, err
 
+    # evaluate the model at the initial iterate and classify it (SOLVED /
+    # DIVERGED warm starts never enter the loop)
+    ev0 = problem.eval_model(vars0, y0, z0)
+    _, _, err0_fn = kkt_residuals(vars0, s0, y0, z0, zl0, zu0, ev0)
+    e0_init = err0_fn(0.0)
+    status_init = jnp.where(
+        e0_init <= settings.tol, jnp.int32(SIPStatus.SOLVED),
+        jnp.where(e0_init > settings.diverged_kkt,
+                  jnp.int32(SIPStatus.DIVERGED),
+                  jnp.int32(SIPStatus.RUNNING)))
+    state0 = state0._replace(ev=ev0, kkt_error=e0_init, status=status_init)
+    # propagate varying-ness to every carry leaf (see vzero note above)
+    state0 = jax.tree.map(lambda a: a + vzero.astype(a.dtype), state0)
+
     # ----- merit function --------------------------------------------------
     def barrier_value(vars, s, f, c, g, mu, nu):
         log_s = _tsum(_tmap(
@@ -337,16 +355,18 @@ def solve(problem: OCProblem, settings: Settings,
     def body(st: _IPMState) -> _IPMState:
         vars, s, y, z, zl, zu, mu = (st.vars, st.s, st.y, st.z, st.zl,
                                      st.zu, st.mu)
-        ev = problem.eval_model(vars, y, z)
+        # the model evaluation at the current iterate is carried in the
+        # state (computed at the end of the previous step); the body only
+        # runs on iterates already classified RUNNING
+        ev = st.ev
         stat, r_ineq, err_fn = kkt_residuals(vars, s, y, z, zl, zu, ev)
-        e0 = err_fn(0.0)
-        converged = e0 <= settings.tol
+        e0 = st.kkt_error
 
         # barrier update (possibly several decreases handled across iters)
         e_mu = err_fn(mu)
         shrink = e_mu <= settings.kappa_eps * mu
         mu = jnp.where(
-            shrink & ~converged,
+            shrink,
             jnp.maximum(settings.mu_min,
                         jnp.minimum(settings.kappa_mu * mu,
                                     mu ** settings.theta_mu)),
@@ -574,46 +594,43 @@ def solve(problem: OCProblem, settings: Settings,
                 al=alpha, p0=phi0, sl=slope, th=theta0, nu=nu)
 
         it_n = st.it + 1
-        diverged = e0 > settings.diverged_kkt
+
+        # evaluate the model at the ACCEPTED iterate and classify it; the
+        # loop exits without a wasted factor/solve trip and without a
+        # post-loop re-evaluation
+        ev_n = problem.eval_model(vars_n, y_n, z_n)
+        # constant/empty leaves of a fresh ModelEval are not device-varying,
+        # but the carried st.ev is; re-mark them (same vzero trick as state0)
+        # so the while_loop carry types match under shard_map.
+        ev_n = jax.tree.map(lambda a: a + vzero.astype(a.dtype), ev_n)
+        _, _, err_n_fn = kkt_residuals(vars_n, s_n, y_n, z_n, zl_n, zu_n,
+                                       ev_n)
+        e_new = err_n_fn(0.0)
         new_status = jnp.where(
-            converged, jnp.int32(SIPStatus.SOLVED),
+            e_new <= settings.tol, jnp.int32(SIPStatus.SOLVED),
             jnp.where(factor_failed,
                       jnp.int32(SIPStatus.FACTORIZATION_FAILURE),
-                      jnp.where(diverged, jnp.int32(SIPStatus.DIVERGED),
+                      jnp.where(e_new > settings.diverged_kkt,
+                                jnp.int32(SIPStatus.DIVERGED),
                                 jnp.where(
                                     it_n >= settings.max_iterations,
                                     jnp.int32(SIPStatus.MAX_ITERATIONS),
                                     jnp.int32(SIPStatus.RUNNING)))))
 
-        # freeze the state once converged/failed
-        def sel(new, old):
-            return _tmap(lambda a, b_: jnp.where(converged, b_, a), new, old)
-
         return _IPMState(
-            vars=sel(vars_n, vars), s=sel(s_n, s), y=sel(y_n, y),
-            z=sel(z_n, z), zl=sel(zl_n, zl), zu=sel(zu_n, zu),
-            mu=jnp.where(converged, st.mu, mu), nu=nu, it=it_n,
-            status=new_status, kkt_error=e0,
-            f=jnp.where(converged, ev.f, f_n),
-            filt_th=filt_th_n, filt_ph=filt_ph_n)
+            vars=vars_n, s=s_n, y=y_n, z=z_n, zl=zl_n, zu=zu_n,
+            mu=mu, nu=nu, it=it_n, status=new_status, kkt_error=e_new,
+            ev=ev_n, filt_th=filt_th_n, filt_ph=filt_ph_n)
 
     def cond(st: _IPMState):
         return st.status == SIPStatus.RUNNING
 
     final = lax.while_loop(cond, body, state0)
 
-    # final convergence check (the loop may exit on max_iterations with the
-    # last step having converged)
-    ev_f = problem.eval_model(final.vars, final.y, final.z)
-    _, _, err_fn = kkt_residuals(final.vars, final.s, final.y, final.z,
-                                 final.zl, final.zu, ev_f)
-    e_final = err_fn(0.0)
-    status = jnp.where(e_final <= settings.tol,
-                       jnp.int32(SIPStatus.SOLVED), final.status)
-    status = jnp.where(status == SIPStatus.RUNNING,
-                       jnp.int32(SIPStatus.MAX_ITERATIONS), status)
+    status = jnp.where(final.status == SIPStatus.RUNNING,
+                       jnp.int32(SIPStatus.MAX_ITERATIONS), final.status)
 
     return SolveResult(
         vars=final.vars, s=final.s, y=final.y, z=final.z, zl=final.zl,
-        zu=final.zu, f=ev_f.f, status=status, iterations=final.it,
-        kkt_error=e_final, mu=final.mu)
+        zu=final.zu, f=final.ev.f, status=status, iterations=final.it,
+        kkt_error=final.kkt_error, mu=final.mu)
