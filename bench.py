@@ -21,7 +21,8 @@ import numpy as np
 
 
 def build_mpc_step(spec, dims, topo, lower, upper, settings,
-                   hessian_mode="exact", steps_per_call=1):
+                   hessian_mode="exact", steps_per_call=1, noise=0.0,
+                   batch=None):
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -48,13 +49,26 @@ def build_mpc_step(spec, dims, topo, lower, upper, settings,
     # production MPC loop stays on device, cf. mpc.run_mpc); this amortizes
     # the fixed per-dispatch cost — essential through the remote-TPU tunnel,
     # whose ~20 ms RPC otherwise dominates a ~17 ms batch step.
+    #
+    # A small plant disturbance (fixed-seed, so the workload stays
+    # deterministic and repeatable) keeps the fleet off the equilibrium
+    # where shifted warm starts would make re-solves trivial: every timed
+    # step does real Newton work.
+    n = dims.max_state_dim
+    if noise > 0.0:
+        rng = np.random.default_rng(12345)
+        dist = jnp.asarray(noise * rng.standard_normal(
+            (steps_per_call, batch, n)).astype(np.float32))
+    else:
+        dist = jnp.zeros((steps_per_call, 1, n), jnp.float32)
+
     def many(x0, warm_vars, warm_y):
-        def body(carry, _):
+        def body(carry, d):
             x, wv, wy = carry
             out = jax.vmap(one)(x, wv, wy)
-            return out[:3], out[3:]
+            return (out[0] + d, out[1], out[2]), out[3:]
         (x, wv, wy), (statuses, iters, kkts) = lax.scan(
-            body, (x0, warm_vars, warm_y), None, length=steps_per_call)
+            body, (x0, warm_vars, warm_y), dist)
         return x, wv, wy, statuses[-1], iters[-1], kkts[-1]
 
     return jax.jit(many)
@@ -72,9 +86,16 @@ def main():
     parser.add_argument("--cold-iters", type=int, default=100)
     parser.add_argument("--warmup-steps", type=int, default=20,
                         help="untimed MPC steps before the timed region")
-    parser.add_argument("--steps-per-call", type=int, default=10,
+    parser.add_argument("--steps-per-call", type=int, default=25,
                         help="MPC steps scanned inside one dispatch (mpc "
                         "mode): amortizes fixed per-dispatch cost")
+    parser.add_argument("--noise", type=float, default=0.0,
+                        help="optional plant disturbance std (fixed seed). "
+                        "Off by default: the vmapped while_loop runs to the "
+                        "slowest scenario, so disturbances that push a few "
+                        "scenarios to the iteration cap stall the whole "
+                        "batch (the noiseless steady state still takes >=1 "
+                        "real Newton step per re-solve)")
     parser.add_argument("--tol", type=float, default=1e-3)
     parser.add_argument("--backend", choices=["scan", "assoc", "pallas"],
                         default="pallas", help="chain-Riccati backend")
@@ -160,7 +181,8 @@ def main():
                                    cold_settings, args.hessian)
         warm_step = build_mpc_step(spec, dims, topo, lower, upper,
                                    warm_settings, args.hessian,
-                                   steps_per_call=args.steps_per_call)
+                                   steps_per_call=args.steps_per_call,
+                                   noise=args.noise, batch=args.batch)
         from sip_optimal_control_tpu.solver.sip import Primal, YVec
         N, E = dims.num_nodes, dims.num_edges
         n, m = dims.max_state_dim, dims.max_control_dim

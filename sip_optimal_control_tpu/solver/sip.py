@@ -329,7 +329,8 @@ def solve(problem: OCProblem, settings: Settings,
     e0_init = err0_fn(0.0)
     status_init = jnp.where(
         e0_init <= settings.tol, jnp.int32(SIPStatus.SOLVED),
-        jnp.where(e0_init > settings.diverged_kkt,
+        jnp.where(~jnp.isfinite(e0_init)
+                  | (e0_init > settings.diverged_kkt),
                   jnp.int32(SIPStatus.DIVERGED),
                   jnp.int32(SIPStatus.RUNNING)))
     state0 = state0._replace(ev=ev0, kkt_error=e0_init, status=status_init)
@@ -606,12 +607,15 @@ def solve(problem: OCProblem, settings: Settings,
         _, _, err_n_fn = kkt_residuals(vars_n, s_n, y_n, z_n, zl_n, zu_n,
                                        ev_n)
         e_new = err_n_fn(0.0)
+        # non-finite KKT error (NaN/inf iterates) counts as divergence: NaN
+        # compares false everywhere, so without this the scenario would spin
+        # to MAX_ITERATIONS doing useless work
+        blew_up = ~jnp.isfinite(e_new) | (e_new > settings.diverged_kkt)
         new_status = jnp.where(
             e_new <= settings.tol, jnp.int32(SIPStatus.SOLVED),
             jnp.where(factor_failed,
                       jnp.int32(SIPStatus.FACTORIZATION_FAILURE),
-                      jnp.where(e_new > settings.diverged_kkt,
-                                jnp.int32(SIPStatus.DIVERGED),
+                      jnp.where(blew_up, jnp.int32(SIPStatus.DIVERGED),
                                 jnp.where(
                                     it_n >= settings.max_iterations,
                                     jnp.int32(SIPStatus.MAX_ITERATIONS),

@@ -180,3 +180,25 @@ def test_batched_solve_vmap():
     single = jax.jit(solve_one)(x0s[2])
     np.testing.assert_allclose(np.asarray(results.vars.u)[2],
                                np.asarray(single.vars.u), atol=1e-9)
+
+
+def test_converged_warm_start_exits_without_stepping():
+    """A warm start that already satisfies the tolerance exits with zero
+    iterations (the loop classifies the initial iterate; no wasted
+    factor/solve trip)."""
+    T = 10
+    dims = Dimensions.uniform(num_edges=T, state_dim=2, control_dim=1)
+    spec, _, _ = _double_integrator_spec(T)
+    x0 = jnp.asarray([1.0, 0.0])
+    problem = build_problem(spec, dims, Topology.chain(T), initial_state=x0)
+    tight = Settings(tol=1e-10)
+    cold = jax.jit(lambda: solve(problem, tight))()
+    assert int(cold.status) == SIPStatus.SOLVED
+
+    loose = Settings(tol=1e-6)
+    warm = jax.jit(lambda v, y: solve(problem, loose, init_vars=v,
+                                      init_y=y))(cold.vars, cold.y)
+    assert int(warm.status) == SIPStatus.SOLVED
+    assert int(warm.iterations) == 0
+    np.testing.assert_allclose(np.asarray(warm.vars.u),
+                               np.asarray(cold.vars.u), atol=1e-12)
