@@ -1,59 +1,149 @@
 """Benchmark harness: batched MPC solves/s/chip at horizon 50.
 
-Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+plus auditable quality stats (solved_frac, mean_iterations, max_kkt_error)
+and an analytic FLOP/utilization estimate.
 Baseline target (BASELINE.md): >= 10,000 batched MPC solves/s/chip.
 
-Workload: a batch of cartpole receding-horizon controllers (horizon 50, box
-input constraints, float32).  One untimed cold solve produces warm-start
-state; the timed region is the steady-state MPC step — solve every scenario
-from its current plant state with a shifted warm start, apply u[0], advance
-the plant (the reference's warm-start contract:
-tests/variable_dimensions_test.cpp:437-446).  Cold-start throughput is
-available via --mode cold.
+Workload: a batch of receding-horizon controllers (default: cartpole
+swing-up, horizon 50, box input constraints, float32) driven by a fixed-seed
+plant disturbance (--noise, DEFAULT ON at 0.05) so every timed re-solve does
+real Newton work off the steady state.  One untimed cold solve produces
+warm-start state; the timed region scans --steps-per-call MPC steps on
+device (the reference's warm-start contract:
+tests/variable_dimensions_test.cpp:437-446).  Stragglers that exhaust the
+warm iteration budget truncate with a counted MAX_ITERATIONS status (their
+warm state still carries to the next step — the classic real-time-iteration
+contract) instead of stalling the batch.
+
+Modes:
+  mpc      (default) steady-state warm-started throughput
+  cold     cold-start throughput
+  latency  p50 single-solve latency (batch 1)
+  scaling  multi-device scaling efficiency over an N-device mesh
+           (runs on N virtual CPU devices here; on a pod slice unchanged)
 """
 
 import argparse
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
+_WORKER_ENV = "_SOC_SCALING_WORKER"
 
-def build_mpc_step(spec, dims, topo, lower, upper, settings,
+
+def flops_per_newton_iteration(dims) -> float:
+    """Analytic FLOP count of the linear-algebra core of ONE interior-point
+    iteration of ONE scenario (condensation + Riccati factor/solve +
+    multiplier recovery + KKT residual).  A deliberate LOWER bound: the
+    autodiff model evaluation and line-search probes are model-dependent and
+    excluded.  Counts follow the recursion in ops/lqr.py (the math box of
+    SURVEY.md: F-trick Cholesky factor, gain, cost-to-go update)."""
+    T = dims.num_edges
+    n = float(max(dims.max_state_dim, 1))
+    m = float(max(dims.max_control_dim, 1))
+    cn, ce = float(dims.max_node_c_dim), float(dims.max_edge_c_dim)
+    gn, ge = float(dims.max_node_g_dim), float(dims.max_edge_g_dim)
+    # J^T diag(w) J condensation accumulations (ops/kkt.py::kkt_factor)
+    cond = 2 * n * n * (cn + gn) + 2 * (ce + ge) * (n * n + 2 * n * m
+                                                    + m * m)
+    # Riccati factor per edge: chol(F) n^3/3, F^{-1} formation 2n^3,
+    # WA 2n^3, WB 2n^2m, B^T WB 2nm^2, chol(G) m^3/3, K = -G^{-1}H 2m^2n,
+    # V update A^T WA 2n^3 + K^T H 2n^2 m
+    factor = (n ** 3 / 3 + 2 * n ** 3 + 2 * n ** 3 + 2 * n * n * m
+              + 2 * n * m * m + m ** 3 / 3 + 2 * m * m * n
+              + 2 * n ** 3 + 2 * n * n * m)
+    # backward + forward vector passes (matvecs)
+    solve = 12 * n * n + 8 * n * m
+    recover = 4 * n * (cn + gn) + 4 * (n + m) * (ce + ge)
+    resid = 8 * n * n + 8 * n * m + 4 * n * (cn + ce + gn + ge)
+    return T * (cond + factor + solve + recover + resid)
+
+
+def peak_flops_bf16(device) -> float:
+    """Per-chip bf16 peak by device kind (public figures); 0.0 if unknown."""
+    kind = getattr(device, "device_kind", "").lower()
+    table = [("v6", 918e12), ("v5p", 459e12), ("v5 lite", 197e12),
+             ("v5e", 197e12), ("v5", 459e12), ("v4", 275e12)]
+    for key, peak in table:
+        if key in kind:
+            return peak
+    return 0.0
+
+
+def get_model(name: str, horizon: int):
+    from sip_optimal_control_tpu.models import (cartpole_swingup,
+                                                planar_quadrotor,
+                                                synthetic_chain)
+    if name == "cartpole":
+        return cartpole_swingup(horizon=horizon)
+    if name == "quadrotor":
+        return planar_quadrotor(horizon=horizon)
+    if name == "chain16":
+        return synthetic_chain(horizon=horizon, state_dim=16, control_dim=4)
+    raise ValueError(f"unknown model {name!r}")
+
+
+def build_mpc_scan(spec, dims, topo, lower, upper, settings,
                    hessian_mode="exact", steps_per_call=1, noise=0.0,
-                   batch=None):
+                   batch=1):
+    """One dispatch = `steps_per_call` receding-horizon steps scanned on
+    device (amortizes fixed per-dispatch cost — essential through the
+    remote-TPU tunnel, whose ~20 ms RPC otherwise dominates).  Returns
+    stacked per-step (statuses, iterations, kkt_errors) of shape
+    [steps, batch] so the timed region's quality is fully auditable."""
     import jax
     import jax.numpy as jnp
     from jax import lax
     from sip_optimal_control_tpu import build_problem, solve
     from sip_optimal_control_tpu.mpc import _shift_warm_start
+    from sip_optimal_control_tpu.solver.sip import Primal
 
     theta0 = jnp.zeros((dims.theta_dim,), jnp.float32)
+    N = dims.num_nodes
 
     def one(x0, warm_vars, warm_y):
         problem = build_problem(spec, dims, topo, initial_state=x0,
                                 lower=lower, upper=upper,
                                 hessian_mode=hessian_mode)
         res = solve(problem, settings, init_vars=warm_vars, init_y=warm_y)
-        u0 = res.vars.u[0]
+        # Divergence failsafe (production-MPC standard): SOLVED iterates,
+        # and MAX_ITERATIONS iterates that are still in a sane neighborhood
+        # (KKT error bounded), are usable (real-time-iteration contract).
+        # STALLED / DIVERGED / FACTORIZATION_FAILURE / non-finite scenarios
+        # apply zero control and restart next step from the constant
+        # trajectory at the new plant state, instead of carrying a
+        # pathological warm state forever.
+        usable = ((res.status == 0)
+                  | ((res.status == 1) & (res.kkt_error < 1e2))) \
+            & jnp.isfinite(res.kkt_error) \
+            & jnp.all(jnp.isfinite(res.vars.x)) \
+            & jnp.all(jnp.isfinite(res.vars.u))
+        u0 = jnp.where(usable, res.vars.u[0], jnp.zeros_like(res.vars.u[0]))
         x_next = spec.dynamics(x0, u0, theta0, 0)
-        next_vars, next_y = _shift_warm_start(res.vars, res.y)
+        sh_vars, sh_y = _shift_warm_start(res.vars, res.y)
+        reset_vars = Primal(x=jnp.tile(x_next[None], (N, 1)),
+                            u=jnp.zeros_like(sh_vars.u),
+                            theta=sh_vars.theta * 0)
+        next_vars = jax.tree.map(
+            lambda a, b: jnp.where(usable, a, b), sh_vars, reset_vars)
+        next_y = jax.tree.map(
+            lambda a: jnp.where(usable, a, jnp.zeros_like(a)), sh_y)
         return (x_next, next_vars, next_y, res.status, res.iterations,
                 res.kkt_error)
 
     if steps_per_call == 1:
+        # direct vmap (accepts None warm state for cold starts); per-step
+        # stats have shape [batch]
         return jax.jit(jax.vmap(one))
 
-    # Scan steps_per_call receding-horizon steps inside one dispatch (the
-    # production MPC loop stays on device, cf. mpc.run_mpc); this amortizes
-    # the fixed per-dispatch cost — essential through the remote-TPU tunnel,
-    # whose ~20 ms RPC otherwise dominates a ~17 ms batch step.
-    #
-    # A small plant disturbance (fixed-seed, so the workload stays
-    # deterministic and repeatable) keeps the fleet off the equilibrium
-    # where shifted warm starts would make re-solves trivial: every timed
-    # step does real Newton work.
+    # Fixed-seed plant disturbance: keeps the fleet off the equilibrium
+    # where shifted warm starts make re-solves trivial, while the workload
+    # stays deterministic and repeatable.
     n = dims.max_state_dim
     if noise > 0.0:
         rng = np.random.default_rng(12345)
@@ -63,55 +153,141 @@ def build_mpc_step(spec, dims, topo, lower, upper, settings,
         dist = jnp.zeros((steps_per_call, 1, n), jnp.float32)
 
     def many(x0, warm_vars, warm_y):
-        def body(carry, d):
+        def body(carry, dstep):
             x, wv, wy = carry
             out = jax.vmap(one)(x, wv, wy)
-            return (out[0] + d, out[1], out[2]), out[3:]
+            return (out[0] + dstep, out[1], out[2]), out[3:]
+
         (x, wv, wy), (statuses, iters, kkts) = lax.scan(
             body, (x0, warm_vars, warm_y), dist)
-        return x, wv, wy, statuses[-1], iters[-1], kkts[-1]
+        return x, wv, wy, statuses, iters, kkts
 
     return jax.jit(many)
+
+
+def run_scaling(args):
+    """Multi-device scaling efficiency (VERDICT r1 item 5; BASELINE tracks
+    >=80% at >=2 hosts).  Weak scaling: fixed batch per device, mesh sizes
+    1 and N, efficiency = thr_N / (N * thr_1).  Outside the worker process
+    we re-exec with N virtual CPU devices (jax is already imported by
+    sitecustomize, so env must be set before the interpreter starts); on a
+    real pod slice the worker path runs directly on the ambient devices."""
+    import jax
+
+    if os.environ.get(_WORKER_ENV) != "1" and (
+            len(jax.devices()) < args.devices):
+        env = dict(os.environ)
+        env[_WORKER_ENV] = "1"
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                            + f" --xla_force_host_platform_device_count="
+                            f"{args.devices}")
+        proc = subprocess.run([sys.executable] + sys.argv, env=env)
+        sys.exit(proc.returncode)
+
+    import jax.numpy as jnp
+    from sip_optimal_control_tpu import Settings
+    from sip_optimal_control_tpu.parallel import (scenario_mesh,
+                                                  shard_scenarios,
+                                                  solve_batch_sharded)
+
+    spec, dims, topo, lower, upper, x0 = get_model(args.model, args.horizon)
+    settings = Settings(max_iterations=args.cold_iters, tol=args.tol,
+                        mu_min=1e-5, reg_floor=1e-5, prox_reg=1e-5)
+    devices = jax.devices()[:args.devices]
+    assert len(devices) == args.devices, (
+        f"need {args.devices} devices, found {len(devices)}")
+    bpd = args.batch  # batch per device (weak scaling)
+    rng = np.random.default_rng(0)
+
+    def throughput(k):
+        mesh = scenario_mesh(devices[:k])
+        B = bpd * k
+        x0s = np.tile(np.asarray(x0, np.float32), (B, 1))
+        x0s += 0.05 * rng.standard_normal(x0s.shape).astype(np.float32)
+        x0s = shard_scenarios(jnp.asarray(x0s), mesh)
+        fn = jax.jit(lambda b: solve_batch_sharded(
+            spec, dims, topo, b, settings=settings, mesh=mesh,
+            lower=lower, upper=upper))
+        out = jax.block_until_ready(fn(x0s))  # compile + warm
+        times = []
+        for _ in range(args.reps):
+            t0 = time.time()
+            out = jax.block_until_ready(fn(x0s))
+            times.append(time.time() - t0)
+        _, statuses, stats = out
+        return B / min(times), int(stats.total_solved), B
+
+    thr_1, solved_1, b_1 = throughput(1)
+    thr_n, solved_n, b_n = throughput(args.devices)
+    eff = thr_n / (args.devices * thr_1)
+    print(json.dumps({
+        "metric": f"scaling_efficiency_{args.devices}dev",
+        "value": round(eff, 4),
+        "unit": "ratio",
+        "vs_baseline": round(eff / 0.80, 4),
+        "throughput_1dev": round(thr_1, 1),
+        f"throughput_{args.devices}dev": round(thr_n, 1),
+        "per_device_batch": bpd,
+        "solved_frac_1dev": round(solved_1 / b_1, 4),
+        f"solved_frac_{args.devices}dev": round(solved_n / b_n, 4),
+        "platform": jax.default_backend(),
+    }))
 
 
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch", type=int, default=4096)
     parser.add_argument("--horizon", type=int, default=50)
-    parser.add_argument("--mode", choices=["mpc", "cold", "latency"],
+    parser.add_argument("--model",
+                        choices=["cartpole", "quadrotor", "chain16"],
+                        default="cartpole")
+    parser.add_argument("--mode",
+                        choices=["mpc", "cold", "latency", "scaling"],
                         default="mpc")
-    parser.add_argument("--warm-iters", type=int, default=12)
+    parser.add_argument("--warm-iters", type=int, default=16)
     parser.add_argument("--warm-mu", type=float, default=1e-4,
                         help="barrier restart for warm-started re-solves")
     parser.add_argument("--cold-iters", type=int, default=100)
-    parser.add_argument("--warmup-steps", type=int, default=20,
-                        help="untimed MPC steps before the timed region")
+    parser.add_argument("--warmup-steps", type=int, default=100,
+                        help="untimed MPC steps before the timed region "
+                        "(long enough to clear the swing-up transient, so "
+                        "the timed region measures steady-state regulation "
+                        "under disturbance)")
     parser.add_argument("--steps-per-call", type=int, default=25,
                         help="MPC steps scanned inside one dispatch (mpc "
                         "mode): amortizes fixed per-dispatch cost")
-    parser.add_argument("--noise", type=float, default=0.0,
-                        help="optional plant disturbance std (fixed seed). "
-                        "Off by default: the vmapped while_loop runs to the "
-                        "slowest scenario, so disturbances that push a few "
-                        "scenarios to the iteration cap stall the whole "
-                        "batch (the noiseless steady state still takes >=1 "
-                        "real Newton step per re-solve)")
+    parser.add_argument("--noise", type=float, default=0.05,
+                        help="plant disturbance std (fixed seed; DEFAULT "
+                        "ON). Scenarios that exhaust the warm iteration "
+                        "budget truncate with MAX_ITERATIONS and re-enter "
+                        "warm next step, so stragglers cannot stall the "
+                        "batch; their fraction is 1 - solved_frac")
     parser.add_argument("--tol", type=float, default=1e-3)
     parser.add_argument("--backend", choices=["scan", "assoc", "pallas"],
                         default="pallas", help="chain-Riccati backend")
     parser.add_argument("--hessian", choices=["exact", "gauss_newton"],
                         default="exact")
+    parser.add_argument("--devices", type=int, default=8,
+                        help="mesh size for --mode scaling")
     parser.add_argument("--reps", type=int, default=10)
     parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args()
 
+    if args.mode == "scaling":
+        run_scaling(args)
+        return
+
     import jax
     import jax.numpy as jnp
     from sip_optimal_control_tpu import Settings, build_problem, solve
-    from sip_optimal_control_tpu.models import cartpole_swingup
 
-    spec, dims, topo, lower, upper, x0 = cartpole_swingup(
-        horizon=args.horizon)
+    # persistent executable cache: repeated harness invocations skip the
+    # 30-60 s XLA compile of the jitted MPC scan
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    spec, dims, topo, lower, upper, x0 = get_model(args.model, args.horizon)
     f32 = dict(tol=args.tol, mu_min=1e-5, reg_floor=1e-5, prox_reg=1e-5,
                riccati_backend=args.backend)
     cold_settings = Settings(max_iterations=args.cold_iters, **f32)
@@ -119,20 +295,19 @@ def main():
                              mu_init=args.warm_mu, **f32)
 
     rng = np.random.default_rng(0)
+    n = dims.max_state_dim
     x0s = np.tile(np.asarray(x0, np.float32), (args.batch, 1))
-    x0s[:, 0] += 0.1 * rng.standard_normal(args.batch).astype(np.float32)
-    x0s[:, 2] += 0.1 * rng.standard_normal(args.batch).astype(np.float32)
+    x0s += 0.1 * rng.standard_normal((args.batch, n)).astype(np.float32)
     x0s = jnp.asarray(x0s)
 
     if args.mode == "latency":
         # p50 single-solve latency (batch 1, warm-started steady state) —
         # the real-time-MPC number BASELINE also tracks.  NOTE: through the
-        # remote-TPU tunnel each dispatch carries ~20 ms fixed RPC latency
-        # (batch 4096 takes only ~31 ms total); on a locally attached chip
-        # this number is dominated by actual compute instead
-        warm_step = build_mpc_step(spec, dims, topo, lower, upper,
+        # remote-TPU tunnel each dispatch carries ~20 ms fixed RPC latency;
+        # on a locally attached chip this is dominated by compute instead.
+        warm_step = build_mpc_scan(spec, dims, topo, lower, upper,
                                    warm_settings, args.hessian)
-        cold_step = build_mpc_step(spec, dims, topo, lower, upper,
+        cold_step = build_mpc_scan(spec, dims, topo, lower, upper,
                                    cold_settings, args.hessian)
         x1 = x0s[:1]
         state = jax.block_until_ready(cold_step(x1, None, None))[:3]
@@ -144,16 +319,15 @@ def main():
             out = jax.block_until_ready(warm_step(*state))
             times.append(time.time() - t0)
         p50_ms = float(np.median(times) * 1e3)
-        if args.verbose:
-            print(f"# backend={jax.default_backend()} "
-                  f"best={min(times) * 1e3:.3f}ms p50={p50_ms:.3f}ms",
-                  file=sys.stderr)
         print(json.dumps({
             "metric": f"p50_warm_solve_latency_ms_h{args.horizon}",
             "value": round(p50_ms, 3),
             "unit": "ms",
             # budget: a 100 Hz real-time MPC loop (10 ms per solve)
             "vs_baseline": round(10.0 / max(p50_ms, 1e-9), 4),
+            "best_ms": round(min(times) * 1e3, 3),
+            "model": args.model,
+            "platform": jax.default_backend(),
         }))
         return
 
@@ -173,26 +347,19 @@ def main():
             t0 = time.time()
             out = jax.block_until_ready(jfn(x0s))
             times.append(time.time() - t0)
-        statuses, iters, kkt = out[1], out[2], out[3]
+        statuses, iters, kkt = (np.asarray(out[1])[None],
+                                np.asarray(out[2])[None],
+                                np.asarray(out[3])[None])
+        solves_per_call = args.batch
         metric = f"batched_cold_solves_per_sec_per_chip_h{args.horizon}"
     else:
         # untimed cold phase -> warm-start state
-        cold_step = build_mpc_step(spec, dims, topo, lower, upper,
+        cold_step = build_mpc_scan(spec, dims, topo, lower, upper,
                                    cold_settings, args.hessian)
-        warm_step = build_mpc_step(spec, dims, topo, lower, upper,
+        warm_step = build_mpc_scan(spec, dims, topo, lower, upper,
                                    warm_settings, args.hessian,
                                    steps_per_call=args.steps_per_call,
                                    noise=args.noise, batch=args.batch)
-        from sip_optimal_control_tpu.solver.sip import Primal, YVec
-        N, E = dims.num_nodes, dims.num_edges
-        n, m = dims.max_state_dim, dims.max_control_dim
-        B = args.batch
-        zero_vars = Primal(x=jnp.zeros((B, N, n), jnp.float32),
-                           u=jnp.zeros((B, E, m), jnp.float32),
-                           theta=jnp.zeros((B, dims.theta_dim), jnp.float32))
-        zero_y = YVec(dyn=jnp.zeros((B, N, n), jnp.float32),
-                      nc=jnp.zeros((B, N, dims.max_node_c_dim), jnp.float32),
-                      ec=jnp.zeros((B, E, dims.max_edge_c_dim), jnp.float32))
         t0 = time.time()
         x_c, wv, wy, statuses, iters, kkt = jax.block_until_ready(
             cold_step(x0s, None, None))
@@ -211,30 +378,64 @@ def main():
             t0 = time.time()
             out = jax.block_until_ready(warm_step(x_c, wv, wy))
             times.append(time.time() - t0)
-        statuses, iters, kkt = out[3], out[4], out[5]
+        # [steps, batch] quality stats over the WHOLE timed region
+        statuses, iters, kkt = (
+            np.asarray(out[3]).reshape(-1, args.batch),
+            np.asarray(out[4]).reshape(-1, args.batch),
+            np.asarray(out[5]).reshape(-1, args.batch))
+        solves_per_call = args.batch * args.steps_per_call
         metric = f"batched_mpc_solves_per_sec_per_chip_h{args.horizon}"
 
     t_best = min(times)
-    solves_per_call = args.batch * (args.steps_per_call
-                                    if args.mode == "mpc" else 1)
     solves_per_sec = solves_per_call / t_best
-    solved_frac = float(np.mean(np.asarray(statuses) == 0))
+    solved_frac = float(np.mean(statuses == 0))
+    diverged_frac = float(np.mean(statuses >= 2))
+    mean_iters = float(np.mean(iters))
+    finite_kkt = kkt[np.isfinite(kkt)]
+    max_kkt = float(np.max(finite_kkt)) if finite_kkt.size else -1.0
 
-    if args.verbose:
-        print(f"# backend={jax.default_backend()} compile={compile_time:.1f}s "
-              f"best_batch_time={t_best * 1e3:.2f}ms "
-              f"p50={np.median(times) * 1e3:.2f}ms "
-              f"solved={solved_frac:.3f} "
-              f"mean_iters={float(np.mean(np.asarray(iters))):.1f} "
-              f"max_kkt={float(np.max(np.asarray(kkt))):.2e}",
-              file=sys.stderr)
+    # Utilization: the vmapped while_loop executes each scan step to the
+    # batch's slowest scenario, so hardware trips = sum over steps of the
+    # per-step batch max; useful trips = every scenario's own count.
+    fpi = flops_per_newton_iteration(dims)
+    hw_iters = float(np.sum(np.max(iters, axis=1))) * args.batch
+    useful_iters = float(np.sum(iters))
+    hw_flops_per_sec = hw_iters * fpi / t_best
+    dev = jax.devices()[0]
+    peak = peak_flops_bf16(dev)
 
-    print(json.dumps({
+    record = {
         "metric": metric,
         "value": round(solves_per_sec, 1),
         "unit": "solves/s/chip",
         "vs_baseline": round(solves_per_sec / 10000.0, 4),
-    }))
+        # auditable quality stats over the timed region
+        "solved_frac": round(solved_frac, 4),
+        "diverged_frac": round(diverged_frac, 5),
+        "mean_iterations": round(mean_iters, 2),
+        "max_kkt_error": float(f"{max_kkt:.3e}"),
+        "tol": args.tol,
+        "noise": args.noise,
+        "batch": args.batch,
+        "model": args.model,
+        "p50_batch_ms": round(float(np.median(times)) * 1e3, 2),
+        # analytic linear-algebra-core FLOPs (lower bound; model autodiff
+        # and line-search probes excluded)
+        "flops_per_iteration": float(f"{fpi:.4g}"),
+        "achieved_tflops": round(hw_flops_per_sec / 1e12, 4),
+        # fraction of executed while_loop trips doing useful work (the
+        # vmapped loop runs every scenario to the batch's slowest)
+        "batch_efficiency": round(useful_iters / max(hw_iters, 1.0), 4),
+        "platform": jax.default_backend(),
+    }
+    if peak > 0:
+        record["pct_peak_bf16"] = round(100.0 * hw_flops_per_sec / peak, 3)
+    if args.verbose:
+        print(f"# backend={jax.default_backend()} "
+              f"device={getattr(dev, 'device_kind', '?')} "
+              f"compile={compile_time:.1f}s "
+              f"best_batch_time={t_best * 1e3:.2f}ms", file=sys.stderr)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -27,6 +27,11 @@ class SIPStatus(enum.IntEnum):
     # away, typically an infeasible problem (equality multipliers blow up
     # while primal steps collapse)
     DIVERGED = 3
+    # Settings.max_consecutive_rejections successive steps were rejected
+    # (failed factorization or exhausted line search even under inflated
+    # regularization): the iterate cannot make progress from its current
+    # point — callers should re-initialize rather than re-warm-start
+    STALLED = 4
     # internal sentinel while iterating
     RUNNING = 99
 
@@ -76,10 +81,28 @@ class Settings:
     prox_reg: float = 1e-8
     max_factor_retries: int = 3
     retry_scale: float = 100.0
+    # Step-rejection safeguard (Levenberg-style): when the factorization
+    # still fails after the in-iteration retries, or the line search
+    # exhausts its backtracking budget, the step is REJECTED (alpha = 0 —
+    # the iterate does not move) and a carried multiplier on the primal
+    # proximal regularization is inflated for the next iteration; it decays
+    # back toward 1 after accepted steps.  FACTORIZATION_FAILURE is only
+    # declared once the boost is saturated at reg_boost_max — i.e. the
+    # system is unfactorizable even under maximal regularization.
+    reg_boost_scale: float = 100.0
+    reg_boost_decay: float = 0.1
+    reg_boost_max: float = 1e12
+    # consecutive rejected steps before declaring STALLED
+    max_consecutive_rejections: int = 8
     # safeguards
     diverged_kkt: float = 1e10  # declare DIVERGED above this KKT error
     kappa_sigma: float = 1e10  # z-reset corridor around mu/s
     bound_push: float = 1e-2   # initial interior push for bounded variables
+    # Interior push applied to EXPLICIT warm starts (solve(init_vars=...)).
+    # Kept tiny so a saturated control is not dragged off its bound every
+    # MPC re-solve (which costs a fraction of an iteration per step
+    # re-approaching it); cold starts keep the standard kappa_1-style push.
+    warm_bound_push: float = 1e-6
     # Absolute slack floor.  0 disables: the fraction-to-boundary rule keeps
     # s > 0, and any positive floor puts a floor under the g+s residual.
     slack_min: float = 0.0
