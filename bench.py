@@ -174,6 +174,11 @@ def run_scaling(args):
     real pod slice the worker path runs directly on the ambient devices."""
     import jax
 
+    if os.environ.get(_WORKER_ENV) == "1":
+        # env-level JAX_PLATFORMS is overridden by the ambient PJRT-plugin
+        # sitecustomize; the config-level switch wins (cf. tests/conftest.py)
+        jax.config.update("jax_platforms", "cpu")
+
     if os.environ.get(_WORKER_ENV) != "1" and (
             len(jax.devices()) < args.devices):
         env = dict(os.environ)

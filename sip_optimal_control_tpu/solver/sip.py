@@ -41,8 +41,9 @@ from jax import lax
 
 from ..types import Dimensions, TopologySchedule
 from ..ops.kkt import (ConstraintMasks, KKTVector, Regularizations,
-                       StageModelData, apply_CT, apply_G, apply_GT, apply_K,
-                       kkt_factor, kkt_solve, zero_kkt_vector)
+                       StageModelData, apply_C, apply_CT, apply_G, apply_GT,
+                       apply_H, apply_K, kkt_factor, kkt_solve,
+                       zero_kkt_vector)
 from .settings import Settings, SIPStatus
 
 _EPS = 1e-300
@@ -220,6 +221,82 @@ def _zmasks(masks: ConstraintMasks) -> ZVec:
     return ZVec(n=jnp.asarray(masks.ng), e=jnp.asarray(masks.eg))
 
 
+def _print_derivative_check(problem: "OCProblem", vars0: Primal, y: YVec,
+                            z: ZVec, ev: ModelEval, template: KKTVector,
+                            num_directions: int = 2) -> None:
+    """In-graph finite-difference derivative check, printed at the initial
+    iterate when settings.logging.print_derivative_check_logs is set.
+
+    The reference's SIP core has the same built-in channel
+    (reference: tests/variable_dimensions_test.cpp:432 sets
+    settings.logging.print_derivative_check_logs).  Central differences of
+    the residual-only evaluation along fixed random directions are compared
+    against the model's gradient, C/G Jacobian operators and Lagrangian
+    Hessian; fully traceable (constants baked at trace time), so it works
+    under jit and vmap.  Expected magnitudes: ~eps^(2/3) of the problem
+    scale for exact autodiff models; `hessian` is only meaningful in
+    hessian_mode="exact"."""
+    sched = problem.sched
+    dtype = template.x.dtype
+    eps = float(jnp.finfo(dtype).eps) ** (1.0 / 3.0)
+    rng = np.random.default_rng(0)
+
+    e_grad = jnp.asarray(0.0, dtype)
+    e_c = jnp.asarray(0.0, dtype)
+    e_g = jnp.asarray(0.0, dtype)
+    e_h = jnp.asarray(0.0, dtype)
+    for _ in range(num_directions):
+        d = Primal(
+            x=jnp.asarray(rng.standard_normal(template.x.shape), dtype),
+            u=jnp.asarray(rng.standard_normal(template.u.shape), dtype),
+            theta=jnp.asarray(rng.standard_normal(template.theta.shape),
+                              dtype))
+        vp = _tmap(lambda a, b_: a + eps * b_, vars0, d)
+        vm = _tmap(lambda a, b_: a - eps * b_, vars0, d)
+        fp, cp, gp = problem.eval_fcg(vp)
+        fm, cm, gm = problem.eval_fcg(vm)
+
+        e_grad = jnp.maximum(e_grad, jnp.abs(
+            _tdot(ev.grad, d) - (fp - fm) / (2 * eps)))
+
+        dk = dataclasses.replace(jax.tree.map(jnp.zeros_like, template),
+                                 x=d.x, u=d.u, theta=d.theta)
+        cd = apply_C(ev.stage, dk, sched)
+        fd_c = _tmap(lambda a, b_: (a - b_) / (2 * eps), cp, cm)
+        e_c = jnp.maximum(e_c, jnp.maximum(
+            _tinf(YVec(dyn=cd.y_dyn - fd_c.dyn, nc=cd.y_nc - fd_c.nc,
+                       ec=cd.y_ec - fd_c.ec)), 0.0))
+        gd = apply_G(ev.stage, dk, sched)
+        fd_g = _tmap(lambda a, b_: (a - b_) / (2 * eps), gp, gm)
+        e_g = jnp.maximum(e_g, _tinf(ZVec(n=gd.z_n - fd_g.n,
+                                          e=gd.z_e - fd_g.e)))
+
+        # Lagrangian-Hessian check: H d vs central FD of the Lagrangian
+        # gradient at fixed multipliers
+        evp = problem.eval_model(vp, y, z)
+        evm = problem.eval_model(vm, y, z)
+        duals = _kkt_from_duals(template, y, z)
+
+        def lag_grad(e):
+            ct = apply_CT(e.stage, duals, sched)
+            gt = apply_GT(e.stage, duals, sched)
+            return Primal(x=e.grad.x + ct.x + gt.x,
+                          u=e.grad.u + ct.u + gt.u,
+                          theta=e.grad.theta + ct.theta + gt.theta)
+
+        hd = apply_H(ev.stage, dk, sched)
+        fd_h = _tmap(lambda a, b_: (a - b_) / (2 * eps), lag_grad(evp),
+                     lag_grad(evm))
+        e_h = jnp.maximum(e_h, _tinf(Primal(x=hd.x - fd_h.x,
+                                            u=hd.u - fd_h.u,
+                                            theta=hd.theta - fd_h.theta)))
+
+    jax.debug.print(
+        "derivative check (central FD, eps={eps:.2e}): gradient={g:.3e} "
+        "jacobian_c={c:.3e} jacobian_g={gq:.3e} hessian={h:.3e}",
+        eps=eps, g=e_grad, c=e_c, gq=e_g, h=e_h)
+
+
 def solve(problem: OCProblem, settings: Settings,
           init_vars: Optional[Primal] = None,
           init_y: Optional[YVec] = None) -> SolveResult:
@@ -339,6 +416,10 @@ def solve(problem: OCProblem, settings: Settings,
     # evaluate the model at the initial iterate and classify it (SOLVED /
     # DIVERGED warm starts never enter the loop)
     ev0 = problem.eval_model(vars0, y0, z0)
+    if settings.logging.print_derivative_check_logs:
+        # the reference's derivative-check channel
+        # (reference: tests/variable_dimensions_test.cpp:432)
+        _print_derivative_check(problem, vars0, y0, z0, ev0, template)
     _, _, err0_fn = kkt_residuals(vars0, s0, y0, z0, zl0, zu0, ev0)
     e0_init = err0_fn(0.0)
     status_init = jnp.where(
