@@ -47,12 +47,22 @@ def run_mpc(spec: ModelSpec, dims: Dimensions, topology: Topology,
             x0, n_steps: int, settings: Optional[Settings] = None,
             lower=None, upper=None,
             plant: Optional[Callable] = None,
-            warm_start: bool = True) -> MPCTrace:
+            warm_start: bool = True,
+            reset_on_failure: bool = True,
+            kkt_reset_threshold: float = 1e2) -> MPCTrace:
     """Closed-loop MPC: at each step solve the horizon problem from the
     current plant state, apply u[0], advance the plant, warm start the next
     solve from the shifted solution.
 
-    `plant(x, u) -> x_next` defaults to the model dynamics (edge 0)."""
+    `plant(x, u) -> x_next` defaults to the model dynamics (edge 0).
+
+    `reset_on_failure` (production failsafe): SOLVED iterates, and
+    MAX_ITERATIONS iterates whose KKT error is still below
+    `kkt_reset_threshold` (real-time-iteration contract), warm-start the
+    next re-solve; a STALLED / DIVERGED / FACTORIZATION_FAILURE or
+    non-finite scenario instead applies zero control this step and
+    restarts next step from the cold default init, so one bad re-solve
+    cannot poison the loop's warm state forever."""
     settings = settings or Settings()
     theta0 = jnp.zeros((dims.theta_dim,))
     if plant is None:
@@ -72,11 +82,25 @@ def run_mpc(spec: ModelSpec, dims: Dimensions, topology: Topology,
         else:
             result = solve(problem, settings)
         u0 = result.vars.u[0]
+        if reset_on_failure:
+            usable = (((result.status == 0)
+                       | ((result.status == 1)
+                          & (result.kkt_error < kkt_reset_threshold)))
+                      & jnp.isfinite(result.kkt_error)
+                      & jnp.all(jnp.isfinite(result.vars.x))
+                      & jnp.all(jnp.isfinite(result.vars.u)))
+            u0 = jnp.where(usable, u0, jnp.zeros_like(u0))
+        else:
+            usable = jnp.asarray(True)
         x_next = plant(x, u0)
         next_vars, next_y = _shift_warm_start(result.vars, result.y)
+        # unusable -> have_warm=False selects default_init next step; the
+        # dual warm start must be scrubbed too (it is passed regardless)
+        next_y = jax.tree.map(
+            lambda a: jnp.where(usable, a, jnp.zeros_like(a)), next_y)
         out = (x_next, u0, result.iterations, result.status,
                result.kkt_error)
-        return (x_next, next_vars, next_y, jnp.asarray(True)), out
+        return (x_next, next_vars, next_y, usable), out
 
     n = dims.max_state_dim
     m = dims.max_control_dim

@@ -299,6 +299,41 @@ def _solve_chain(data: LQRData, fact: LQRFactorization) -> LQRSolution:
 # sequential path's G = R + B^T W B; always true for the IPM's condensed
 # R_mod).  The sequential path remains the default and the fallback.
 
+def _assoc_prefix_scan(fn, xs):
+    """Inclusive prefix scan out[i] = x[0] • ... • x[i] by Hillis-Steele
+    recursive doubling (log2(T) rounds of contiguous slice + combine +
+    concat).  `fn(left, right)` composes the product of an earlier
+    contiguous range with the adjacent later range.
+
+    Replaces `lax.associative_scan`: jax 0.9.0's XLA:CPU lowering of
+    associative_scan (strided odd/even interleave) MISCOMPILES when the
+    scan's consumers are fused — observed as wrong solve results and heap
+    corruption (`free(): invalid next size`) depending on which outputs
+    stay live.  This formulation uses only contiguous slicing and
+    concatenation, which lowers cleanly on CPU and TPU; same O(log T)
+    sequential depth (O(T log T) combine work — the combines are tiny
+    matrix products, fully batched)."""
+    n = jax.tree.leaves(xs)[0].shape[0]
+    out = xs
+    d = 1
+    while d < n:
+        left = jax.tree.map(lambda a: a[:-d], out)
+        right = jax.tree.map(lambda a: a[d:], out)
+        comb = fn(left, right)
+        out = jax.tree.map(
+            lambda a, c: jnp.concatenate([a[:d], c], axis=0), out, comb)
+        d *= 2
+    return out
+
+
+def _assoc_suffix_scan(fn, xs):
+    """Inclusive suffix scan out[i] = x[i] • ... • x[T] (same `fn(left,
+    right)` convention), via the prefix scan on the flipped sequence."""
+    rev = jax.tree.map(lambda a: jnp.flip(a, axis=0), xs)
+    out = _assoc_prefix_scan(lambda acc, new: fn(new, acc), rev)
+    return jax.tree.map(lambda a: jnp.flip(a, axis=0), out)
+
+
 class _QuadElem(NamedTuple):
     A: jax.Array    # [n, n]
     b: jax.Array    # [n]
@@ -373,10 +408,7 @@ def _factor_chain_assoc(data: LQRData) -> LQRFactorization:
     """Associative-scan factorization; produces the same LQRFactorization
     as the sequential path (so either solve path consumes it)."""
     elems, _, r_ok = _chain_elements(data)
-    # reverse=True feeds the already-accumulated right suffix as the FIRST
-    # argument; our combine takes (left, right), so swap.
-    suffix = lax.associative_scan(
-        lambda a, b: _combine_elems(b, a), elems, reverse=True)
+    suffix = _assoc_suffix_scan(_combine_elems, elems)
     V = suffix.J                     # [T+1, n, n]; V[k] = cost-to-go at k
 
     F_chol, sd, sdi, f_status = jax.vmap(_factor_F)(data.delta, V)
@@ -428,13 +460,13 @@ def _solve_chain_assoc(data: LQRData, fact: LQRFactorization) -> LQRSolution:
         T=jnp.concatenate([Tmat, jnp.zeros((1, n, n), dtype)], axis=0),
         o=jnp.concatenate([eta_t, elems.eta[T_h][None]], axis=0))
 
-    def comb_bwd(a: _AffineElem, b: _AffineElem) -> _AffineElem:
-        # reverse=True: `a` is the right suffix, `b` the new left element;
-        # composition m_b then-apply-to m_a: T_b T_a, T_b o_a + o_b.
-        return _AffineElem(T=b.T @ a.T, o=(b.T @ a.o[..., None])[..., 0]
-                           + b.o)
+    def comb_bwd(left: _AffineElem, right: _AffineElem) -> _AffineElem:
+        # v_p = o_L + T_L v_c: apply the left (earlier) map to the composed
+        # right suffix: T_L T_R, T_L o_R + o_L.
+        return _AffineElem(T=left.T @ right.T,
+                           o=(left.T @ right.o[..., None])[..., 0] + left.o)
 
-    v = lax.associative_scan(comb_bwd, aff, reverse=True).o    # [T+1, n]
+    v = _assoc_suffix_scan(comb_bwd, aff).o                    # [T+1, n]
 
     # Per-edge gains on the RHS (all edges batched; reference semantics of
     # _edge_solve_backward but with v already known).
@@ -459,11 +491,12 @@ def _solve_chain_assoc(data: LQRData, fact: LQRFactorization) -> LQRSolution:
                                 fact.sqrt_delta_inv[1:], rhs_const)
     aff_f = _AffineElem(T=E, o=e0)
 
-    def comb_fwd(a: _AffineElem, b: _AffineElem) -> _AffineElem:
-        return _AffineElem(T=b.T @ a.T, o=(b.T @ a.o[..., None])[..., 0]
-                           + b.o)
+    def comb_fwd(left: _AffineElem, right: _AffineElem) -> _AffineElem:
+        # x_{i+1} = T_R (T_L x + o_L) + o_R: compose later-on-earlier.
+        return _AffineElem(T=right.T @ left.T,
+                           o=(right.T @ left.o[..., None])[..., 0] + right.o)
 
-    pre = lax.associative_scan(comb_fwd, aff_f)
+    pre = _assoc_prefix_scan(comb_fwd, aff_f)
     x_tail = (pre.T @ x_root[..., None])[..., 0] + pre.o      # [T, n]
     x = jnp.concatenate([x_root[None], x_tail], axis=0)
     u = k + (fact.K @ x[:T_h][..., None])[..., 0]

@@ -106,6 +106,12 @@ class Settings:
     # Absolute slack floor.  0 disables: the fraction-to-boundary rule keeps
     # s > 0, and any positive floor puts a floor under the g+s residual.
     slack_min: float = 0.0
+    # Sanitizer-style debug mode (the TPU-side analogue of the reference's
+    # asan/msan/ubsan build configs, reference: .bazelrc:38-59): after every
+    # accepted iterate, check the primal variables, model evaluation and KKT
+    # error for non-finite values and print a diagnostic line identifying
+    # the iteration when any appear.  Debug-only cost; off by default.
+    debug_check_finite: bool = False
     # extra rounds of K-residual correction per Newton solve, using the
     # apply_K operator (the reference exposes its matvec oracles to the SIP
     # core for exactly this, helpers.cpp:953-977)

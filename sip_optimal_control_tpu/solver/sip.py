@@ -103,6 +103,11 @@ def _tdot(a, b) -> jax.Array:
                zip(jax.tree.leaves(a), jax.tree.leaves(b)))
 
 
+def _allfin(tree) -> jax.Array:
+    return jnp.all(jnp.stack(
+        [jnp.all(jnp.isfinite(l)) for l in jax.tree.leaves(tree)]))
+
+
 class ModelEval(NamedTuple):
     """Everything the IPM needs at the current iterate.
 
@@ -420,6 +425,14 @@ def solve(problem: OCProblem, settings: Settings,
         # the reference's derivative-check channel
         # (reference: tests/variable_dimensions_test.cpp:432)
         _print_derivative_check(problem, vars0, y0, z0, ev0, template)
+    if settings.debug_check_finite:
+        lax.cond(
+            _allfin(vars0) & _allfin((ev0.f, ev0.grad, ev0.c, ev0.g)),
+            lambda: None,
+            lambda: jax.debug.print(
+                "NONFINITE at initial iterate: vars_ok={v} model_ok={m}",
+                v=_allfin(vars0),
+                m=_allfin((ev0.f, ev0.grad, ev0.c, ev0.g))))
     _, _, err0_fn = kkt_residuals(vars0, s0, y0, z0, zl0, zu0, ev0)
     e0_init = err0_fn(0.0)
     status_init = jnp.where(
@@ -744,6 +757,20 @@ def solve(problem: OCProblem, settings: Settings,
         # boost is saturated — before that, rejected iterations retry with
         # heavier regularization
         gave_up = factor_failed & (st.reg_boost >= settings.reg_boost_max)
+        if settings.debug_check_finite:
+            # sanitizer-style NaN/inf tripwire (debug mode; see Settings)
+            vars_ok = _allfin(vars_n)
+            model_ok = _allfin((ev_n.f, ev_n.grad, ev_n.c, ev_n.g))
+            duals_ok = _allfin((y_n, z_n, zl_n, zu_n, s_n))
+            lax.cond(
+                vars_ok & model_ok & duals_ok & jnp.isfinite(e_new),
+                lambda: None,
+                lambda: jax.debug.print(
+                    "NONFINITE at it={it}: vars_ok={v} model_ok={m} "
+                    "duals_ok={d} kkt_error={k:.3e} alpha={a:.2e} "
+                    "mu={mu:.1e}", it=st.it, v=vars_ok, m=model_ok,
+                    d=duals_ok, k=e_new, a=alpha, mu=mu))
+
         stalled = consec_rej_n >= settings.max_consecutive_rejections
         new_status = jnp.where(
             e_new <= settings.tol, jnp.int32(SIPStatus.SOLVED),

@@ -117,8 +117,9 @@ def test_parallel_factor_matches_sequential():
     T, n, m = 12, 4, 2
     data = random_chain(T, n, m, rng)
     sched = compile_topology(Topology.chain(T))
-    f_seq = lqr_factor(data, sched)
-    f_par = lqr_factor(data, sched, backend="assoc")
+    f_seq = jax.jit(lambda d: lqr_factor(d, sched))(data)
+    f_par = jax.jit(lambda d: lqr_factor(d, sched, backend="assoc"))(
+        data)
     assert int(f_par.status) == FactorStatus.SUCCESS
     np.testing.assert_allclose(np.asarray(f_par.V), np.asarray(f_seq.V),
                                rtol=1e-8, atol=1e-8)
@@ -133,7 +134,8 @@ def test_parallel_solve_matches_sequential_and_residual():
     for T, n, m in ((6, 3, 1), (33, 4, 2), (64, 6, 3)):
         data = random_chain(T, n, m, rng)
         sched = compile_topology(Topology.chain(T))
-        sol_seq, st_seq = lqr_factor_solve(data, sched)
+        sol_seq, st_seq = jax.jit(
+            lambda d: lqr_factor_solve(d, sched))(data)
         sol_par, st_par = jax.jit(
             lambda d: lqr_factor_solve(d, sched, backend="assoc"))(data)
         assert int(st_par) == FactorStatus.SUCCESS
@@ -153,11 +155,15 @@ def test_mixed_paths_share_factorization():
     T, n, m = 10, 3, 2
     data = random_chain(T, n, m, rng)
     sched = compile_topology(Topology.chain(T))
-    f_par = lqr_factor(data, sched, backend="assoc")
-    sol = lqr_solve(data, f_par, sched)              # sequential solve
+    f_par = jax.jit(lambda d: lqr_factor(d, sched, backend="assoc"))(
+        data)
+    sol = jax.jit(lambda d, f: lqr_solve(d, f, sched))(
+        data, f_par)                                 # sequential solve
     assert float(lqr_residual_norm(data, sol, sched)) < 1e-9
-    f_seq = lqr_factor(data, sched)
-    sol2 = lqr_solve(data, f_seq, sched, backend="assoc")
+    f_seq = jax.jit(lambda d: lqr_factor(d, sched))(data)
+    sol2 = jax.jit(
+        lambda d, f: lqr_solve(d, f, sched, backend="assoc"))(
+            data, f_seq)
     assert float(lqr_residual_norm(data, sol2, sched)) < 1e-9
 
 
@@ -167,10 +173,10 @@ def test_parallel_vmap_batching():
     sched = compile_topology(Topology.chain(T))
     datas = [random_chain(T, n, m, rng) for _ in range(B)]
     batch = jax.tree.map(lambda *xs: jnp.stack(xs), *datas)
-    sols, stats = jax.vmap(
-        lambda d: lqr_factor_solve(d, sched, backend="assoc"))(batch)
+    jfs = jax.jit(lambda d: lqr_factor_solve(d, sched, backend="assoc"))
+    sols, stats = jax.jit(jax.vmap(jfs))(batch)
     for i in range(B):
-        sol_i, _ = lqr_factor_solve(datas[i], sched, backend="assoc")
+        sol_i, _ = jfs(datas[i])
         np.testing.assert_allclose(np.asarray(sols.x[i]),
                                    np.asarray(sol_i.x), atol=1e-9)
     assert np.all(np.asarray(stats) == FactorStatus.SUCCESS)
@@ -185,11 +191,12 @@ def test_parallel_failure_statuses():
     import dataclasses
     bad_R = dataclasses.replace(
         data, R=data.R.at[2].set(-jnp.eye(m)))
-    f = lqr_factor(bad_R, sched, backend="assoc")
+    jf = jax.jit(lambda d: lqr_factor(d, sched, backend="assoc"))
+    f = jf(bad_R)
     assert int(f.status) == FactorStatus.G_FACTORIZATION_FAILURE
     # invalid delta propagates (reference: lqr.cpp:722-727)
     bad_d = dataclasses.replace(data, delta=data.delta.at[1, 0].set(-1.0))
-    f = lqr_factor(bad_d, sched, backend="assoc")
+    f = jf(bad_d)
     assert int(f.status) != FactorStatus.SUCCESS
 
 

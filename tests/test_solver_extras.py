@@ -286,3 +286,34 @@ def test_nonconvex_saddle_needs_rejection_safeguard():
         # the trajectory tail must settle into a well, not the saddle
         xT = float(np.asarray(res.vars.x)[-1, 0])
         assert abs(abs(xT) - 1.0) < 0.2, xT
+
+
+def test_debug_check_finite_tripwire(capfd):
+    """Settings.debug_check_finite (the TPU analogue of the reference's
+    sanitizer build configs, reference: .bazelrc:38-59) prints a diagnostic
+    when non-finite values enter the iterate."""
+    from sip_optimal_control_tpu.solver.sip import Primal
+    T = 3
+    spec = ModelSpec(
+        dynamics=lambda x, u, th, i: jnp.stack(
+            [x[0] + 0.1 * x[1], x[1] + 0.1 * u[0]]),
+        node_cost=lambda x, th, i: 0.5 * jnp.sum(x ** 2),
+        edge_cost=lambda x, u, th, i: 0.05 * jnp.sum(u ** 2),
+    )
+    dims = Dimensions.uniform(num_edges=T, state_dim=2, control_dim=1)
+    problem = build_problem(spec, dims, Topology.chain(T),
+                            initial_state=jnp.asarray([1.0, 0.0]))
+    bad_init = Primal(x=jnp.full((T + 1, 2), jnp.nan),
+                      u=jnp.zeros((T, 1)), theta=jnp.zeros((0,)))
+    res = solve(problem, Settings(max_iterations=5, debug_check_finite=True),
+                init_vars=bad_init)
+    jax.block_until_ready(res.vars.x)
+    out, _ = capfd.readouterr()
+    assert "NONFINITE" in out, out
+    # a clean solve stays silent
+    res = solve(problem, Settings(max_iterations=30,
+                                  debug_check_finite=True))
+    jax.block_until_ready(res.vars.x)
+    out, _ = capfd.readouterr()
+    assert "NONFINITE" not in out
+    assert int(res.status) == SIPStatus.SOLVED
