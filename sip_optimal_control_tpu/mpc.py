@@ -11,6 +11,7 @@ and vmaps as a unit.
 from __future__ import annotations
 
 import dataclasses
+import time
 from typing import Callable, NamedTuple, Optional
 
 import jax
@@ -117,3 +118,91 @@ def run_mpc(spec: ModelSpec, dims: Dimensions, topology: Topology,
     states = jnp.concatenate([x0[None], xs], axis=0)
     return MPCTrace(states=states, controls=us, iterations=iters,
                     statuses=statuses, kkt_errors=errs)
+
+
+def run_mpc_timed(spec: ModelSpec, dims: Dimensions, topology: Topology,
+                  x0, max_steps: int, time_budget_s: float,
+                  settings: Optional[Settings] = None,
+                  lower=None, upper=None,
+                  plant: Optional[Callable] = None,
+                  warm_start: bool = True,
+                  reset_on_failure: bool = True,
+                  kkt_reset_threshold: float = 1e2) -> MPCTrace:
+    """Wall-clock-budgeted MPC loop: the dispatch-level equivalent of the
+    reference's user-supplied `timeout_callback`
+    (reference: sip_optimal_control/types.hpp:139-140, threaded through at
+    sip_optimal_control.cpp:196).  Inside a jitted solve there is no host
+    clock, so the budget is enforced at the dispatch boundary instead: each
+    MPC step is its own device dispatch, and the loop stops issuing new
+    steps once `time_budget_s` has elapsed (never mid-solve — the iterate
+    is never abandoned in an inconsistent state).  Returns the completed
+    prefix, so `len(trace.controls) <= max_steps`."""
+    settings = settings or Settings()
+    theta0 = jnp.zeros((dims.theta_dim,))
+    if plant is None:
+        def plant(x, u):
+            return spec.dynamics(x, u, theta0, 0)
+
+    @jax.jit
+    def step(x, warm_vars, warm_y, have_warm):
+        problem = build_problem(spec, dims, topology, initial_state=x,
+                                lower=lower, upper=upper)
+        if warm_start:
+            init_vars = jax.tree.map(
+                lambda w, d: jnp.where(have_warm, w, d), warm_vars,
+                problem.default_init)
+            result = solve(problem, settings, init_vars=init_vars,
+                           init_y=warm_y)
+        else:
+            result = solve(problem, settings)
+        u0 = result.vars.u[0]
+        if reset_on_failure:
+            usable = (((result.status == 0)
+                       | ((result.status == 1)
+                          & (result.kkt_error < kkt_reset_threshold)))
+                      & jnp.isfinite(result.kkt_error)
+                      & jnp.all(jnp.isfinite(result.vars.x))
+                      & jnp.all(jnp.isfinite(result.vars.u)))
+            u0 = jnp.where(usable, u0, jnp.zeros_like(u0))
+        else:
+            usable = jnp.asarray(True)
+        x_next = plant(x, u0)
+        next_vars, next_y = _shift_warm_start(result.vars, result.y)
+        next_y = jax.tree.map(
+            lambda a: jnp.where(usable, a, jnp.zeros_like(a)), next_y)
+        return (x_next, next_vars, next_y, usable, u0,
+                result.iterations, result.status, result.kkt_error)
+
+    n = dims.max_state_dim
+    m = dims.max_control_dim
+    N, E = dims.num_nodes, dims.num_edges
+    warm_vars = Primal(x=jnp.zeros((N, n)), u=jnp.zeros((E, m)),
+                       theta=theta0)
+    warm_y = YVec(dyn=jnp.zeros((N, n)),
+                  nc=jnp.zeros((N, dims.max_node_c_dim)),
+                  ec=jnp.zeros((E, dims.max_edge_c_dim)))
+    x = jnp.asarray(x0)
+    have_warm = jnp.asarray(False)
+
+    deadline = time.monotonic() + time_budget_s
+    xs, us, iters, statuses, errs = [x], [], [], [], []
+    for _ in range(max_steps):
+        if time.monotonic() >= deadline:
+            break
+        out = jax.block_until_ready(step(x, warm_vars, warm_y, have_warm))
+        x, warm_vars, warm_y, have_warm = out[:4]
+        xs.append(x)
+        us.append(out[4])
+        iters.append(out[5])
+        statuses.append(out[6])
+        errs.append(out[7])
+    if not us:  # budget elapsed before the first step
+        return MPCTrace(states=jnp.stack(xs),
+                        controls=jnp.zeros((0, m)),
+                        iterations=jnp.zeros((0,), jnp.int32),
+                        statuses=jnp.zeros((0,), jnp.int32),
+                        kkt_errors=jnp.zeros((0,)))
+    return MPCTrace(states=jnp.stack(xs), controls=jnp.stack(us),
+                    iterations=jnp.stack(iters),
+                    statuses=jnp.stack(statuses),
+                    kkt_errors=jnp.stack(errs))

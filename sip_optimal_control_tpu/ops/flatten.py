@@ -286,4 +286,4 @@ def dense_kkt_matrix(layout: FlatLayout, model, regs, sched) -> jax.Array:
                                    sched))
 
     eye = jnp.eye(layout.kkt_dim)
-    return jax.vmap(column)(eye).T
+    return jax.jit(jax.vmap(column))(eye).T

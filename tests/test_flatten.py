@@ -92,8 +92,9 @@ def test_dense_flat_kkt_matches_stagewise_solve():
     flat_rhs = np.asarray(flatten_kkt(layout, rhs))
     dense_sol = np.linalg.solve(K, flat_rhs)
 
-    fact = kkt_factor(model, regs, masks, sched)
+    fact, sol = jax.jit(lambda mo, rg, rh: (lambda f: (
+        f, kkt_solve(f, mo, rh, sched)))(
+            kkt_factor(mo, rg, masks, sched)))(model, regs, rhs)
     assert int(fact.status) == 0
-    sol = kkt_solve(fact, model, rhs, sched)
     np.testing.assert_allclose(np.asarray(flatten_kkt(layout, sol)),
                                dense_sol, atol=1e-9)

@@ -9,7 +9,7 @@ from sip_optimal_control_tpu import (Settings, SIPStatus, build_problem,
 from sip_optimal_control_tpu.models import (cartpole_swingup,
                                             double_integrator,
                                             planar_quadrotor)
-from sip_optimal_control_tpu.mpc import run_mpc
+from sip_optimal_control_tpu.mpc import run_mpc, run_mpc_timed
 
 
 def test_cartpole_swingup_solves():
@@ -42,6 +42,31 @@ def test_quadrotor_mpc_tracks_target():
     # warm starting keeps late-loop iteration counts low
     iters = np.asarray(trace.iterations)
     assert iters[-10:].mean() <= iters[0]
+
+
+def test_mpc_timed_wall_clock_budget():
+    """run_mpc_timed: the dispatch-level `timeout_callback` equivalent
+    (reference: sip_optimal_control/types.hpp:139-140).  A zero budget
+    issues no steps beyond the first deadline check; a generous budget
+    completes all steps and matches run_mpc's closed loop."""
+    spec, dims, topo, lower, upper, _ = planar_quadrotor(horizon=10)
+    x0 = jnp.asarray([0.5, 0.0, 0.0, 0.0, 0.0, 0.0])
+    settings = Settings(max_iterations=25, tol=1e-6)
+
+    full = run_mpc_timed(spec, dims, topo, x0, max_steps=6,
+                         time_budget_s=600.0, settings=settings,
+                         lower=lower, upper=upper)
+    assert full.controls.shape[0] == 6
+    assert np.all(np.asarray(full.statuses) == SIPStatus.SOLVED)
+    ref = run_mpc(spec, dims, topo, x0, n_steps=6, settings=settings,
+                  lower=lower, upper=upper)
+    np.testing.assert_allclose(np.asarray(full.states),
+                               np.asarray(ref.states), atol=1e-8)
+
+    cut = run_mpc_timed(spec, dims, topo, x0, max_steps=6,
+                        time_budget_s=0.0, settings=settings,
+                        lower=lower, upper=upper)
+    assert cut.controls.shape[0] == 0
 
 
 def test_mpc_batched_scenarios():
