@@ -604,6 +604,173 @@ def _solve_tree(data: LQRData, fact: LQRFactorization,
 
 
 # ---------------------------------------------------------------------------
+# deep trees: lax.scan over padded level schedules
+#
+# The unrolled level loop above emits one program level per tree depth —
+# right for shallow robust-MPC trees, but a depth-D path tree (the
+# reference benchmarks heterogeneous_path at T=63,
+# reference: lqr_benchmark.cpp:209-271) would unroll D levels.  This
+# backend pads every level to the widest one and runs a single traced body
+# under lax.scan: O(1) program size at any depth.  Work per level is
+# max_level_width, so it is chosen automatically only when the padding
+# waste is bounded (deep, narrow trees); wide shallow trees keep the
+# unrolled loop.
+# ---------------------------------------------------------------------------
+
+def _padded_level_schedule(sched: TopologySchedule):
+    """Static [L, W] level index arrays.  Padding rows use index N (nodes /
+    parents) or E (edges): gathers are clipped, scatters use mode='drop',
+    so padded lanes compute garbage that never lands anywhere."""
+    L, W = sched.num_levels, sched.max_level_width
+    N = len(sched.depth)
+    E = len(sched.child_edges)
+    nodes = np.full((L, W), N, np.int32)
+    edges = np.full((L, W), E, np.int32)
+    parents = np.full((L, W), N, np.int32)
+    valid = np.zeros((L, W), bool)
+    for d in range(L):
+        ln = np.asarray(sched.levels_nodes[d], np.int32)
+        w = len(ln)
+        nodes[d, :w] = ln
+        valid[d, :w] = True
+        if d > 0:
+            # levels_edges[d][i] is the edge into levels_nodes[d][i]
+            edges[d, :w] = np.asarray(sched.levels_edges[d], np.int32)
+            parents[d, :w] = sched.parent_node[ln]
+    return nodes, edges, parents, valid
+
+
+def use_level_scan(sched: TopologySchedule) -> bool:
+    """Heuristic: scan when the tree is deep and the per-level padding waste
+    is bounded (e.g. path-shaped trees).  Wide shallow trees (scenario
+    fans, binary trees) keep the unrolled loop, whose total work is exactly
+    the node count."""
+    L, W = sched.num_levels, sched.max_level_width
+    N = len(sched.depth)
+    return L > 16 and L * W <= 4 * max(N, 1)
+
+
+def _factor_tree_scan(data: LQRData,
+                      sched: TopologySchedule) -> LQRFactorization:
+    N = data.Q.shape[0]
+    E = data.A.shape[0]
+    n = data.Q.shape[-1]
+    m = data.R.shape[-1]
+    dtype = data.Q.dtype
+    nodes_p, edges_p, parents_p, valid_p = _padded_level_schedule(sched)
+    # deepest level first
+    xs = (jnp.asarray(nodes_p[::-1]), jnp.asarray(edges_p[::-1]),
+          jnp.asarray(parents_p[::-1]), jnp.asarray(valid_p[::-1]))
+
+    init = (data.Q,                                   # V
+            jnp.zeros((N, n, n), dtype),              # F_chol
+            jnp.zeros((N, n), dtype),                 # sd
+            jnp.zeros((N, n), dtype),                 # sdi
+            jnp.zeros((E, n, n), dtype),              # W
+            jnp.zeros((E, m, n), dtype),              # K
+            jnp.zeros((E, m, m), dtype),              # G_chol
+            jnp.int32(FactorStatus.SUCCESS))
+
+    def step(carry, inp):
+        V, F_chol, sd, sdi, W, K, G_chol, status = carry
+        nodes, edges, parents, valid = inp
+        ng = jnp.minimum(nodes, N - 1)
+        eg = jnp.minimum(edges, E - 1)
+        Fd, sdd, sdid, st = _factor_F(data.delta[ng], V[ng])
+        F_chol = F_chol.at[nodes].set(Fd, mode="drop")
+        sd = sd.at[nodes].set(sdd, mode="drop")
+        sdi = sdi.at[nodes].set(sdid, mode="drop")
+        st = jnp.where(valid, st, jnp.int32(FactorStatus.SUCCESS))
+        status = _merge_status(status, jnp.max(st))
+        # edge algebra (level 0 rows are fully padded and drop everywhere)
+        Wd = _regularized_W(Fd, sdid)
+        Gd, Kd, V_contrib, g_ok = _edge_factor(
+            Wd, data.A[eg], data.B[eg], data.M[eg], data.R[eg])
+        W = W.at[edges].set(Wd, mode="drop")
+        K = K.at[edges].set(Kd, mode="drop")
+        G_chol = G_chol.at[edges].set(Gd, mode="drop")
+        edge_valid = valid & (edges < E)
+        g_st = jnp.where(
+            edge_valid & ~g_ok,
+            jnp.int32(FactorStatus.G_FACTORIZATION_FAILURE),
+            jnp.int32(FactorStatus.SUCCESS))
+        status = _merge_status(status, jnp.max(g_st))
+        V_contrib = jnp.where(edge_valid[:, None, None], V_contrib, 0.0)
+        V = V.at[parents].add(V_contrib, mode="drop")
+        return (V, F_chol, sd, sdi, W, K, G_chol, status), None
+
+    (V, F_chol, sd, sdi, W, K, G_chol, status), _ = lax.scan(
+        step, init, xs)
+    return LQRFactorization(V=V, F_chol=F_chol, sqrt_delta=sd,
+                            sqrt_delta_inv=sdi, W=W, K=K, G_chol=G_chol,
+                            status=status)
+
+
+def _solve_tree_scan(data: LQRData, fact: LQRFactorization,
+                     sched: TopologySchedule) -> LQRSolution:
+    N = data.Q.shape[0]
+    E = data.A.shape[0]
+    n = data.Q.shape[-1]
+    m = data.R.shape[-1]
+    dtype = data.Q.dtype
+    nodes_p, edges_p, parents_p, valid_p = _padded_level_schedule(sched)
+    nodes_j, edges_j, parents_j, valid_j = (
+        jnp.asarray(nodes_p), jnp.asarray(edges_p),
+        jnp.asarray(parents_p), jnp.asarray(valid_p))
+
+    def bwd(carry, inp):
+        v, k = carry
+        nodes, edges, parents, valid = inp
+        ng = jnp.minimum(nodes, N - 1)
+        eg = jnp.minimum(edges, E - 1)
+        kd, v_contrib = _edge_solve_backward(
+            v[ng], data.c[ng], data.delta[ng], fact.W[eg],
+            fact.G_chol[eg], fact.K[eg], data.A[eg], data.B[eg],
+            data.r[eg])
+        k = k.at[edges].set(kd, mode="drop")
+        edge_valid = valid & (edges < E)
+        v_contrib = jnp.where(edge_valid[:, None], v_contrib, 0.0)
+        v = v.at[parents].add(v_contrib, mode="drop")
+        return (v, k), None
+
+    (v, k), _ = lax.scan(
+        bwd, (data.q, jnp.zeros((E, m), dtype)),
+        (nodes_j[::-1], edges_j[::-1], parents_j[::-1], valid_j[::-1]))
+
+    root = int(sched.preorder[0])
+    x = jnp.zeros((N, n), dtype)
+    y = jnp.zeros((N, n), dtype)
+    u = jnp.zeros((E, m), dtype)
+    f_root = data.delta[root] * v[root] - data.c[root]
+    x_root = -_F_inv_apply(fact.F_chol[root], fact.sqrt_delta[root],
+                           fact.sqrt_delta_inv[root], f_root)
+    y_root = v[root] + (fact.V[root] @ x_root[..., None])[..., 0]
+    x = x.at[root].set(x_root)
+    y = y.at[root].set(y_root)
+
+    def fwd(carry, inp):
+        x, y, u = carry
+        nodes, edges, parents, valid = inp
+        ng = jnp.minimum(nodes, N - 1)
+        eg = jnp.minimum(edges, E - 1)
+        pg = jnp.minimum(parents, N - 1)
+        ud, x_c, y_c = _edge_solve_forward(
+            x[pg], k[eg], fact.K[eg], data.A[eg], data.B[eg],
+            data.c[ng], data.delta[ng], v[ng], fact.V[ng],
+            fact.F_chol[ng], fact.sqrt_delta[ng], fact.sqrt_delta_inv[ng])
+        u = u.at[edges].set(ud, mode="drop")
+        x = x.at[nodes].set(x_c, mode="drop")
+        y = y.at[nodes].set(y_c, mode="drop")
+        return (x, y, u), None
+
+    # forward order, skipping level 0 (the root, handled above)
+    (x, y, u), _ = lax.scan(
+        fwd, (x, y, u),
+        (nodes_j[1:], edges_j[1:], parents_j[1:], valid_j[1:]))
+    return LQRSolution(x=x, u=u, y=y)
+
+
+# ---------------------------------------------------------------------------
 # public API
 # ---------------------------------------------------------------------------
 
@@ -614,14 +781,16 @@ def lqr_factor(data: LQRData, sched: TopologySchedule,
     Equivalent of LQR::factor_with_status (reference: lqr.cpp:645-731), with
     the status returned as int32 data in ``fact.status``.
 
-    ``backend`` selects the chain implementation (trees always use the
-    level-synchronous recursion):
+    ``backend`` selects the chain implementation:
       - "scan":  sequential `lax.scan` (default; best for large scenario
         batches, which already saturate the vector lanes)
       - "assoc": associative-scan Riccati, O(log T) sequential depth — the
         long-horizon / low-latency path; additionally requires SPD R_e
       - "pallas": fused Pallas kernel — one kernel for the whole backward
         pass, carry in VMEM (batch sizes that are multiples of 1024)
+    Trees use the level-synchronous recursion: unrolled per level for
+    shallow trees, a lax.scan over padded level schedules for deep narrow
+    ones (`use_level_scan`), keeping program size O(1) in depth.
     All backends produce the same LQRFactorization products.
     """
     if sched.topology.is_chain:
@@ -631,6 +800,8 @@ def lqr_factor(data: LQRData, sched: TopologySchedule,
             from .pallas_riccati import factor_chain_pallas
             return factor_chain_pallas(data)
         return _factor_chain(data)
+    if use_level_scan(sched):
+        return _factor_tree_scan(data, sched)
     return _factor_tree(data, sched)
 
 
@@ -648,6 +819,8 @@ def lqr_solve(data: LQRData, fact: LQRFactorization,
             from .pallas_riccati import solve_chain_pallas
             return solve_chain_pallas(data, fact)
         return _solve_chain(data, fact)
+    if use_level_scan(sched):
+        return _solve_tree_scan(data, fact, sched)
     return _solve_tree(data, fact, sched)
 
 

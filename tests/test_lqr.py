@@ -5,6 +5,8 @@ residual oracles (not golden values), a dense-KKT cross-check, failure-path
 statuses, tree/variable-dimension variants, and vmap batching equivalence.
 """
 
+import dataclasses
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -300,3 +302,72 @@ def test_jit_compiles():
     sched = compile_topology(Topology.chain(T))
     sol, status, res = run_solve(data, sched)
     assert float(res) < 1e-11
+
+
+def test_deep_path_tree_level_scan():
+    """Depth-63 heterogeneous path (the reference's heterogeneous_path
+    benchmark shape, reference: lqr_benchmark.cpp:209-271): selects the
+    lax.scan level backend (O(1) program size in depth) and matches both
+    the residual oracle and the unrolled level loop."""
+    from sip_optimal_control_tpu.ops.lqr import (_factor_tree, _solve_tree,
+                                                 use_level_scan)
+    rng = np.random.default_rng(11)
+    T = 63
+    topo = Topology.tree(0, list(range(T)), list(range(1, T + 1)))
+    sched = compile_topology(topo)
+    assert use_level_scan(sched)
+    data = make_tree_problem(rng, topo, n=3, m=2)
+    sol, status, res = run_solve(data, sched)   # dispatches to level scan
+    assert int(status) == FactorStatus.SUCCESS
+    assert float(res) < 1e-12
+    fact_u = _factor_tree(data, sched)
+    sol_u = _solve_tree(data, fact_u, sched)
+    np.testing.assert_allclose(np.asarray(sol.x), np.asarray(sol_u.x),
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(sol.u), np.asarray(sol_u.u),
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(sol.y), np.asarray(sol_u.y),
+                               atol=1e-10)
+
+
+def test_deep_random_tree_level_scan_matches_dense():
+    """Irregular deep tree (ragged level widths exercise the padded
+    gather/scatter): level-scan backend vs the dense-KKT oracle."""
+    from sip_optimal_control_tpu.ops.lqr import use_level_scan
+    rng = np.random.default_rng(12)
+    N = 40
+    parents = [int(rng.integers(max(0, ch - 2), ch)) for ch in range(1, N)]
+    topo = Topology.tree(0, parents, list(range(1, N)))
+    sched = compile_topology(topo)
+    assert use_level_scan(sched)
+    data = make_tree_problem(rng, topo, n=2, m=2)
+    sol, status, res = run_solve(data, sched)
+    assert int(status) == FactorStatus.SUCCESS
+    assert float(res) < 1e-12
+    x, u, y = dense_kkt_solve(data, topo)
+    np.testing.assert_allclose(np.asarray(sol.x), x, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(sol.u), u, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(sol.y), y, atol=1e-10)
+
+
+def test_deep_path_failure_status_level_scan():
+    """Failure statuses propagate out of the scan backend identically to
+    the unrolled level loop (padded lanes must not fabricate or mask
+    failures)."""
+    from sip_optimal_control_tpu.ops.lqr import _factor_tree
+    rng = np.random.default_rng(13)
+    T = 40
+    topo = Topology.tree(0, list(range(T)), list(range(1, T + 1)))
+    sched = compile_topology(topo)
+    data = make_tree_problem(rng, topo, n=2, m=1)
+    # indefinite R mid-path: the recursion breaks somewhere upstream
+    bad = dataclasses.replace(
+        data, R=data.R.at[T // 2].set(jnp.asarray([[-5.0]])))
+    status = int(jax.jit(lambda d: lqr_factor(d, sched).status)(bad))
+    status_unrolled = int(_factor_tree(bad, sched).status)
+    assert status == status_unrolled != FactorStatus.SUCCESS
+    # and an invalid delta on a mid-path node is classified identically too
+    bad2 = dataclasses.replace(data, delta=data.delta.at[T // 2, 0].set(0.0))
+    s2 = int(jax.jit(lambda d: lqr_factor(d, sched).status)(bad2))
+    assert s2 == int(_factor_tree(bad2, sched).status)
+    assert s2 == FactorStatus.INVALID_DELTA
