@@ -37,6 +37,8 @@ def main():
     ap.add_argument("--hessian", default="exact",
                     choices=["exact", "gauss_newton"])
     ap.add_argument("--reps", type=int, default=20)
+    ap.add_argument("--inner", type=int, default=9,
+                    help="in-dispatch serial repetitions per timing")
     args = ap.parse_args()
 
     import jax
@@ -138,6 +140,15 @@ def main():
     def solve_piece(f, stage, b):
         return kkt_solve(f, stage, b, sched, args.backend)
 
+    # sub-split of kkt_solve: the Riccati vector solve alone vs the RHS
+    # condensation + multiplier recovery epilogue
+    from sip_optimal_control_tpu.ops.lqr import lqr_solve as _lqr_solve
+
+    def riccati_solve_only(f, b):
+        import dataclasses as _dc
+        data = _dc.replace(f.lqr_data, q=b.x, r=b.u, c=b.y_dyn)
+        return _lqr_solve(data, f.lqr_fact, sched, args.backend)
+
     def resid_piece(stage, v, y, z):
         duals = _kkt_from_duals(template, y, z)
         ct = apply_CT(stage, duals, sched)
@@ -145,41 +156,63 @@ def main():
         return ct.x + gt.x, ct.u + gt.u
 
     pieces = {
-        "model_eval": (jax.jit(jax.vmap(model_eval)),
-                       (x0s, vars_b, y_b, z_b)),
-        "eval_fcg": (jax.jit(jax.vmap(fcg)), (x0s, vars_b)),
-        f"kkt_factor[{args.backend}]": (jax.jit(jax.vmap(factor)),
-                                        (ev_b.stage,)),
-        "  - condense": (jax.jit(jax.vmap(condense_only)), (ev_b.stage,)),
-        "  - riccati_factor": (jax.jit(jax.vmap(riccati_only)),
-                               (lqr_data_b,)),
-        f"kkt_solve[{args.backend}]": (jax.jit(jax.vmap(solve_piece)),
+        "model_eval": (jax.vmap(model_eval), (x0s, vars_b, y_b, z_b)),
+        "eval_fcg": (jax.vmap(fcg), (x0s, vars_b)),
+        f"kkt_factor[{args.backend}]": (jax.vmap(factor), (ev_b.stage,)),
+        "  - condense": (jax.vmap(condense_only), (ev_b.stage,)),
+        "  - riccati_factor": (jax.vmap(riccati_only), (lqr_data_b,)),
+        f"kkt_solve[{args.backend}]": (jax.vmap(solve_piece),
                                        (fact_b, ev_b.stage, bvec)),
-        "kkt_residual": (jax.jit(jax.vmap(resid_piece)),
+        "  - riccati_solve": (jax.vmap(riccati_solve_only), (fact_b, bvec)),
+        "kkt_residual": (jax.vmap(resid_piece),
                          (ev_b.stage, vars_b, y_b, z_b)),
     }
 
-    noop = jax.jit(lambda a: a + 1.0)
-    _ = jax.block_until_ready(noop(jnp.zeros((8,), dtype)))
-    overheads = []
-    for _ in range(args.reps):
-        t0 = time.time()
-        jax.block_until_ready(noop(jnp.zeros((8,), dtype)))
-        overheads.append(time.time() - t0)
-    overhead = float(np.median(overheads))
+    # In-dispatch repetition: each piece is applied `inner` times serially
+    # inside ONE jitted program, with a vanishing data dependency (acc*1e-30
+    # added to every float input) chaining the applications so XLA cannot
+    # hoist the loop-invariant computation.  Piece time = (t_R - t_1) /
+    # (inner - 1), which cancels the per-dispatch overhead exactly — needed
+    # through the remote-TPU tunnel, whose 20-30 ms RPC jitter swamps
+    # sub-millisecond pieces.
+    R = args.inner
+
+    def repeated(fn, fargs, reps):
+        def leafsum(t):
+            return sum(jnp.sum(jnp.abs(leaf).astype(jnp.float32))
+                       for leaf in jax.tree.leaves(t)
+                       if jnp.issubdtype(jnp.asarray(leaf).dtype,
+                                         jnp.floating))
+
+        def run(*fa):
+            def body(i, acc):
+                eps = acc * 1e-30
+                pert = jax.tree.map(
+                    lambda a: a + eps.astype(a.dtype)
+                    if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)
+                    else a, fa)
+                return 1e-30 * leafsum(fn(*pert)) + acc * 0.5
+            return jax.lax.fori_loop(0, reps, body, jnp.float32(1.0))
+        return jax.jit(run)
 
     print(f"# device={jax.devices()[0].device_kind} model={args.model} "
           f"batch={B} horizon={args.horizon} backend={args.backend} "
-          f"dispatch_overhead={overhead * 1e3:.2f}ms")
+          f"inner_reps={R}")
     results = {}
     for name, (fn, fargs) in pieces.items():
-        out = jax.block_until_ready(fn(*fargs))  # compile
-        times = []
+        f1 = repeated(fn, fargs, 1)
+        fR = repeated(fn, fargs, R)
+        jax.block_until_ready(f1(*fargs))   # compile
+        jax.block_until_ready(fR(*fargs))
+        t1s, tRs = [], []
         for _ in range(args.reps):
             t0 = time.time()
-            out = jax.block_until_ready(fn(*fargs))
-            times.append(time.time() - t0)
-        t = max(float(np.median(times)) - overhead, 0.0)
+            jax.block_until_ready(f1(*fargs))
+            t1s.append(time.time() - t0)
+            t0 = time.time()
+            jax.block_until_ready(fR(*fargs))
+            tRs.append(time.time() - t0)
+        t = max(float(np.median(tRs)) - float(np.median(t1s)), 0.0) / (R - 1)
         results[name] = t
         print(f"{name:24s} {t * 1e3:9.3f} ms/batch "
               f"({t / B * 1e6:8.3f} us/scenario)")
