@@ -68,8 +68,12 @@ def tree_topologies(T: int):
     shallow = Topology.tree(0, [0] * T, list(range(1, T + 1)))
     parents = [(k - 1) // 2 for k in range(1, T + 1)]
     binary = Topology.tree(0, parents, list(range(1, T + 1)))
-    return {"path": Topology.chain(T), "shallow_wide_tree": shallow,
-            "binary_tree": binary}
+    # heterogeneous_path: a depth-T path built through the GENERAL tree
+    # constructor (is_chain=False), so it runs the tree recursion — the
+    # deep-tree lax.scan level backend — not the chain fast path
+    het_path = Topology.tree(0, list(range(T)), list(range(1, T + 1)))
+    return {"path": Topology.chain(T), "heterogeneous_path": het_path,
+            "shallow_wide_tree": shallow, "binary_tree": binary}
 
 
 def report(results, json_path=None):

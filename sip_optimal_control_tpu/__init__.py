@@ -19,5 +19,7 @@ from .ops.lqr import (LQRData, LQRFactorization, LQRSolution, lqr_factor,
 from .solver import (OCProblem, Primal, Settings, SIPStatus, SolveResult,
                      YVec, ZVec, solve)
 from .model import ModelSpec, box_bounds, build_problem
+from .mpc import MPCTrace, run_mpc, run_mpc_timed
+from .parallel import scenario_mesh, shard_scenarios, solve_batch_sharded
 
 __version__ = "0.1.0"

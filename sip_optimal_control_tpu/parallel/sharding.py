@@ -17,7 +17,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:                                    # jax >= 0.7 public API
+    from jax import shard_map
+except ImportError:                     # older jax
+    from jax.experimental.shard_map import shard_map
 
 from ..model import ModelSpec, build_problem
 from ..solver.settings import Settings

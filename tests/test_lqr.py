@@ -371,3 +371,33 @@ def test_deep_path_failure_status_level_scan():
     s2 = int(jax.jit(lambda d: lqr_factor(d, sched).status)(bad2))
     assert s2 == int(_factor_tree(bad2, sched).status)
     assert s2 == FactorStatus.INVALID_DELTA
+
+
+def test_deep_path_variable_dims_level_scan():
+    """Variable stage dims (padding + masking) through the level-scan
+    backend: a depth-20 path with ragged state/control dims must match the
+    dense solve of the padded system and keep dead entries exactly zero."""
+    from sip_optimal_control_tpu.ops.lqr import use_level_scan
+    rng = np.random.default_rng(14)
+    T = 20
+    topo = Topology.tree(0, list(range(T)), list(range(1, T + 1)))
+    sched = compile_topology(topo)
+    assert use_level_scan(sched)
+    state_dims = tuple(int(d) for d in rng.integers(1, 4, T + 1))
+    control_dims = tuple(int(d) for d in rng.integers(1, 3, T))
+    dims = Dimensions(theta_dim=0, state_dims=state_dims,
+                      control_dims=control_dims,
+                      node_c_dims=(0,) * (T + 1), node_g_dims=(0,) * (T + 1),
+                      edge_c_dims=(0,) * T, edge_g_dims=(0,) * T)
+    data = make_tree_problem(rng, topo, n=3, m=2)
+    padded = jax.jit(lambda d: pad_lqr_data(d, dims, sched))(data)
+    sol, status, res = run_solve(padded, sched)
+    assert int(status) == FactorStatus.SUCCESS
+    assert float(res) < 1e-12
+    for i, d in enumerate(state_dims):
+        assert np.all(np.asarray(sol.x)[i, d:] == 0.0)
+    for e, d in enumerate(control_dims):
+        assert np.all(np.asarray(sol.u)[e, d:] == 0.0)
+    x, u, y = dense_kkt_solve(padded, topo)
+    np.testing.assert_allclose(np.asarray(sol.x), x, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(sol.u), u, atol=1e-10)
