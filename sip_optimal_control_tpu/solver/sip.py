@@ -304,14 +304,25 @@ def _print_derivative_check(problem: "OCProblem", vars0: Primal, y: YVec,
 
 def solve(problem: OCProblem, settings: Settings,
           init_vars: Optional[Primal] = None,
-          init_y: Optional[YVec] = None) -> SolveResult:
+          init_y: Optional[YVec] = None,
+          init_z: Optional[ZVec] = None,
+          init_zl: Optional[Primal] = None,
+          init_zu: Optional[Primal] = None) -> SolveResult:
     """Run the interior-point solve.  Fully traceable; vmap over a leading
     batch axis of the arrays referenced by the problem's closures + inits
     for scenario batching.
 
-    Warm starting: pass `init_vars` / `init_y` from a previous SolveResult
-    (the reference exposes sip_workspace.vars.{x,y} the same way,
-    reference: tests/variable_dimensions_test.cpp:437-446)."""
+    Warm starting: pass `init_vars` / `init_y` (and optionally the
+    inequality multipliers `init_z` and bound duals `init_zl`/`init_zu`)
+    from a previous SolveResult (the reference persists the whole
+    sip_workspace.vars across re-solves the same way,
+    reference: tests/variable_dimensions_test.cpp:437-446).
+    Warm `init_z` is floored at mu_init complementarity (z >= mu/s) so a
+    near-zero carried multiplier cannot pin its slack; warm bound duals
+    are projected into the IPOPT-style kappa_sigma box
+    [mu/(kappa d), kappa mu/d], which keeps a carried multiplier at an
+    active bound (the cold init mu/d there is off by orders of
+    magnitude)."""
     dims = problem.dims
     masks = problem.masks
     sched = problem.sched
@@ -367,15 +378,31 @@ def solve(problem: OCProblem, settings: Settings,
     mu0 = jnp.asarray(settings.mu_init, dtype) + vzero
     s0 = _tmap(lambda g, m: jnp.where(
         m, jnp.maximum(-g, settings.mu_init), 1.0), g0, zmask)
-    z0 = _tmap(lambda s, m: jnp.where(m, mu0 / s, 1.0), s0, zmask)
+    if init_z is not None:
+        # carried inequality multipliers, floored at mu/s complementarity
+        z0 = _tmap(lambda zw, s, m: jnp.where(
+            m, jnp.maximum(zw, mu0 / jnp.maximum(s, _EPS)), 1.0),
+            init_z, s0, zmask)
+    else:
+        z0 = _tmap(lambda s, m: jnp.where(m, mu0 / s, 1.0), s0, zmask)
     y0 = init_y if init_y is not None else YVec(
         dyn=jnp.zeros_like(template.y_dyn),
         nc=jnp.zeros_like(template.y_nc),
         ec=jnp.zeros_like(template.y_ec))
-    zl0 = _tmap(lambda d, h: jnp.where(h, mu0 / d, 0.0), dist_l(vars0),
-                has_lb)
-    zu0 = _tmap(lambda d, h: jnp.where(h, mu0 / d, 0.0), dist_u(vars0),
-                has_ub)
+    kappa_s = settings.kappa_sigma
+
+    def bound_dual_init(warm, dists, has):
+        if warm is None:
+            return _tmap(lambda d, h: jnp.where(h, mu0 / d, 0.0), dists,
+                         has)
+        return _tmap(
+            lambda zw, d, h: jnp.where(
+                h, jnp.clip(zw, mu0 / (kappa_s * jnp.maximum(d, _EPS)),
+                            kappa_s * mu0 / jnp.maximum(d, _EPS)), 0.0),
+            warm, dists, has)
+
+    zl0 = bound_dual_init(init_zl, dist_l(vars0), has_lb)
+    zu0 = bound_dual_init(init_zu, dist_u(vars0), has_ub)
 
     state0 = _IPMState(
         vars=vars0, s=s0, y=y0, z=z0, zl=zl0, zu=zu0, mu=mu0,

@@ -162,6 +162,32 @@ def test_warm_start_fewer_iterations():
     assert int(warm.iterations) <= int(cold.iterations)
 
 
+def test_full_workspace_warm_start():
+    """Warm-starting ALL carried variables (x, y, z, zl, zu) — the
+    reference persists the whole sip_workspace.vars the same way
+    (reference: tests/variable_dimensions_test.cpp:437-446).  Must solve in
+    no more iterations than the (x, y)-only warm start, with the carried
+    bound duals projected into the kappa_sigma corridor."""
+    T = 10
+    dims = Dimensions.uniform(num_edges=T, state_dim=2, control_dim=1)
+    spec, _, _ = _double_integrator_spec(T)
+    lower, upper = box_bounds(dims, u_lower=-0.5, u_upper=0.5)
+    x0 = jnp.asarray([1.0, 0.0])
+    problem = build_problem(spec, dims, Topology.chain(T),
+                            initial_state=x0, lower=lower, upper=upper)
+    cold = jax.jit(lambda: solve(problem, Settings()))()
+    assert int(cold.status) == SIPStatus.SOLVED
+    xy = jax.jit(lambda r: solve(problem, Settings(), init_vars=r.vars,
+                                 init_y=r.y))(cold)
+    full = jax.jit(lambda r: solve(problem, Settings(), init_vars=r.vars,
+                                   init_y=r.y, init_z=r.z, init_zl=r.zl,
+                                   init_zu=r.zu))(cold)
+    assert int(full.status) == SIPStatus.SOLVED
+    assert int(full.iterations) <= int(xy.iterations)
+    np.testing.assert_allclose(np.asarray(full.vars.u),
+                               np.asarray(cold.vars.u), atol=1e-5)
+
+
 def test_batched_solve_vmap():
     """Scenario batching: vmap over initial states."""
     T = 10
