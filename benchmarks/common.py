@@ -17,6 +17,18 @@ import time
 import numpy as np
 
 
+def apply_platform_env():
+    """Honor JAX_PLATFORMS at config level.  The ambient sitecustomize
+    registers the axon TPU plugin and imports jax before any script code
+    runs, which silently overrides the env var — a benchmark meant for CPU
+    then queues behind whatever holds the TPU.  Call right after importing
+    jax in every benchmark main()."""
+    import os
+    import jax
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+
 def timer(fn, args, reps: int, warmup: int = 2):
     """Min/median wall time of a jitted callable (args pre-staged)."""
     import jax

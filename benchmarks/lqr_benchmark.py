@@ -19,13 +19,15 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from common import base_parser, make_chain_lqr, report, timer, tree_topologies
+from common import (apply_platform_env, base_parser, make_chain_lqr,
+                    report, timer, tree_topologies)
 
 
 def main():
     args = base_parser(__doc__).parse_args()
 
     import jax
+    apply_platform_env()
     import jax.numpy as jnp
     from sip_optimal_control_tpu import Topology, compile_topology
     from sip_optimal_control_tpu.ops.lqr import (lqr_factor, lqr_residual_norm,
