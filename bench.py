@@ -78,6 +78,7 @@ def peak_flops_bf16(device) -> float:
 def get_model(name: str, horizon: int):
     from sip_optimal_control_tpu.models import (cartpole_swingup,
                                                 planar_quadrotor,
+                                                robust_scenario_tree,
                                                 synthetic_chain)
     if name == "cartpole":
         return cartpole_swingup(horizon=horizon)
@@ -85,6 +86,11 @@ def get_model(name: str, horizon: int):
         return planar_quadrotor(horizon=horizon)
     if name == "chain16":
         return synthetic_chain(horizon=horizon, state_dim=16, control_dim=4)
+    if name == "robust_tree":
+        # scenario-tree robust MPC (BASELINE config 5's problem class);
+        # total edges ~ horizon: 2 shared + 4 branches x (horizon-2)/4
+        return robust_scenario_tree(t_shared=2, n_branches=4,
+                                    t_branch=max(1, (horizon - 2) // 4))
     raise ValueError(f"unknown model {name!r}")
 
 
@@ -245,8 +251,12 @@ def main():
     parser.add_argument("--batch", type=int, default=4096)
     parser.add_argument("--horizon", type=int, default=50)
     parser.add_argument("--model",
-                        choices=["cartpole", "quadrotor", "chain16"],
-                        default="cartpole")
+                        choices=["cartpole", "quadrotor", "chain16",
+                                 "robust_tree"],
+                        default="cartpole",
+                        help="robust_tree (scenario-tree robust MPC) "
+                        "supports --mode cold only: the receding-horizon "
+                        "shift warm start is a chain concept")
     parser.add_argument("--mode",
                         choices=["mpc", "cold", "latency", "scaling"],
                         default="mpc")
@@ -293,6 +303,10 @@ def main():
     if args.mode == "scaling":
         run_scaling(args)
         return
+
+    if args.model == "robust_tree" and args.mode != "cold":
+        sys.exit("--model robust_tree supports --mode cold only "
+                 "(tree topologies have no shift warm start)")
 
     import jax
     import jax.numpy as jnp

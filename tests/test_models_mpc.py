@@ -85,3 +85,56 @@ def test_mpc_batched_scenarios():
     starts = np.asarray(x0s)
     assert np.all(np.linalg.norm(finals[:, :2], axis=1)
                   < np.linalg.norm(starts[:, :2], axis=1))
+
+
+def test_robust_scenario_tree_model():
+    """BASELINE config 5's problem class as a library model: shared stages
+    + per-branch disturbance realizations, expected cost.
+
+    Oracle: with t_shared=0 the branches are fully independent, so each
+    branch's controls must equal the standalone chain solve of that
+    scenario (probability weights scale the objective uniformly per branch
+    and do not move its argmin)."""
+    from sip_optimal_control_tpu.models import robust_scenario_tree
+    from sip_optimal_control_tpu import ModelSpec, Topology, Dimensions
+
+    S, TB = 3, 5
+    spec, dims, topo, lower, upper, x0 = robust_scenario_tree(
+        t_shared=0, n_branches=S, t_branch=TB, disturbance=0.4,
+        u_limit=10.0)
+    problem = build_problem(spec, dims, topo, initial_state=x0,
+                            lower=lower, upper=upper)
+    res = jax.jit(lambda: solve(problem, Settings(max_iterations=60)))()
+    assert int(res.status) == SIPStatus.SOLVED
+
+    levels = np.linspace(-0.4, 0.4, S)
+    dt = 0.1
+    A = jnp.asarray([[1.0, dt], [0.0, 1.0]])
+    B = jnp.asarray([[0.0], [dt]])
+    for s in range(S):
+        d = float(levels[s])
+
+        cspec = ModelSpec(
+            dynamics=lambda x, u, th, i, d=d: (
+                A @ x + B @ u[:1] + d * jnp.asarray([0.0, dt])),
+            node_cost=lambda x, th, i: 0.5 * jnp.sum(x ** 2),
+            edge_cost=lambda x, u, th, i: 0.5 * 0.05 * jnp.sum(u ** 2))
+        cdims = Dimensions.uniform(num_edges=TB, state_dim=2, control_dim=1)
+        cres = jax.jit(lambda: solve(
+            build_problem(cspec, cdims, Topology.chain(TB),
+                          initial_state=x0),
+            Settings(max_iterations=60)))()
+        assert int(cres.status) == SIPStatus.SOLVED
+        u_branch = np.asarray(res.vars.u)[s * TB:(s + 1) * TB]
+        np.testing.assert_allclose(u_branch, np.asarray(cres.vars.u),
+                                   atol=1e-6)
+
+    # shared-prefix variant: solves, respects bounds, and the shared stages
+    # are structurally non-anticipative (single control per shared edge)
+    spec2, dims2, topo2, lo2, hi2, x02 = robust_scenario_tree(
+        t_shared=2, n_branches=4, t_branch=6, u_limit=1.0)
+    p2 = build_problem(spec2, dims2, topo2, initial_state=x02,
+                       lower=lo2, upper=hi2)
+    r2 = jax.jit(lambda: solve(p2, Settings(max_iterations=80)))()
+    assert int(r2.status) == SIPStatus.SOLVED
+    assert np.all(np.abs(np.asarray(r2.vars.u)) <= 1.0 + 1e-8)
