@@ -312,6 +312,11 @@ def main():
     import jax.numpy as jnp
     from sip_optimal_control_tpu import Settings, build_problem, solve
 
+    # Honor JAX_PLATFORMS at config level: the ambient sitecustomize
+    # registers the TPU plugin and imports jax before this script runs,
+    # which silently overrides the env var (cf. benchmarks/common.py).
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     # persistent executable cache: repeated harness invocations skip the
     # 30-60 s XLA compile of the jitted MPC scan
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -413,6 +418,10 @@ def main():
             np.asarray(out[3]).reshape(-1, args.batch),
             np.asarray(out[4]).reshape(-1, args.batch),
             np.asarray(out[5]).reshape(-1, args.batch))
+        # closed-loop CONTROL quality: RMS plant state after the timed
+        # region (the real-time-iteration question is whether truncated
+        # re-solves still regulate, not whether each one reached tol)
+        final_state_rms = float(np.sqrt(np.mean(np.asarray(out[0]) ** 2)))
         solves_per_call = args.batch * args.steps_per_call
         metric = f"batched_mpc_solves_per_sec_per_chip_h{args.horizon}"
 
@@ -450,6 +459,8 @@ def main():
         "model": args.model,
         "hessian": args.hessian,
         "p50_batch_ms": round(float(np.median(times)) * 1e3, 2),
+        **({"final_state_rms": round(final_state_rms, 4)}
+           if args.mode == "mpc" else {}),
         # analytic linear-algebra-core FLOPs (lower bound; model autodiff
         # and line-search probes excluded)
         "flops_per_iteration": float(f"{fpi:.4g}"),
