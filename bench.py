@@ -279,6 +279,13 @@ def main():
                         "warm next step, so stragglers cannot stall the "
                         "batch; their fraction is 1 - solved_frac")
     parser.add_argument("--tol", type=float, default=1e-3)
+    parser.add_argument("--ls-steps", type=int, default=None,
+                        help="line-search backtracking depth cap (the "
+                        "vmapped LS while_loop runs to the batch max, "
+                        "~0.2 ms per trip — the dominant per-iteration "
+                        "cost at the default 25)")
+    parser.add_argument("--backtrack", type=float, default=None,
+                        help="line-search backtracking factor")
     parser.add_argument("--backend", choices=["scan", "assoc", "pallas"],
                         default="pallas", help="chain-Riccati backend")
     parser.add_argument("--hessian", choices=["exact", "gauss_newton"],
@@ -325,6 +332,14 @@ def main():
     spec, dims, topo, lower, upper, x0 = get_model(args.model, args.horizon)
     f32 = dict(tol=args.tol, mu_min=1e-5, reg_floor=1e-5, prox_reg=1e-5,
                riccati_backend=args.backend)
+    if args.ls_steps is not None or args.backtrack is not None:
+        from sip_optimal_control_tpu.solver.settings import LineSearchSettings
+        ls_kw = {}
+        if args.ls_steps is not None:
+            ls_kw["max_steps"] = args.ls_steps
+        if args.backtrack is not None:
+            ls_kw["backtrack"] = args.backtrack
+        f32["line_search"] = LineSearchSettings(**ls_kw)
     cold_settings = Settings(max_iterations=args.cold_iters, **f32)
     warm_settings = Settings(max_iterations=args.warm_iters,
                              mu_init=args.warm_mu, **f32)

@@ -323,6 +323,17 @@ def solve(problem: OCProblem, settings: Settings,
     [mu/(kappa d), kappa mu/d], which keeps a carried multiplier at an
     active bound (the cold init mu/d there is off by orders of
     magnitude)."""
+    # Bake the matmul precision into every op traced below: TPU's default
+    # bf16 matmul passes cap the reachable KKT error on badly-scaled
+    # problems (see Settings.matmul_precision).
+    with jax.default_matmul_precision(settings.matmul_precision):
+        return _solve_impl(problem, settings, init_vars, init_y, init_z,
+                           init_zl, init_zu)
+
+
+def _solve_impl(problem: OCProblem, settings: Settings,
+                init_vars, init_y, init_z, init_zl,
+                init_zu) -> SolveResult:
     dims = problem.dims
     masks = problem.masks
     sched = problem.sched
