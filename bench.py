@@ -286,6 +286,10 @@ def main():
                         "cost at the default 25)")
     parser.add_argument("--backtrack", type=float, default=None,
                         help="line-search backtracking factor")
+    parser.add_argument("--ls-chunk", type=int, default=None,
+                        help="candidate alphas per LS while-loop trip "
+                        "(vectorized probe; cuts batch-max LS trips to "
+                        "ceil(depth/chunk))")
     parser.add_argument("--backend", choices=["scan", "assoc", "pallas"],
                         default="pallas", help="chain-Riccati backend")
     parser.add_argument("--hessian", choices=["exact", "gauss_newton"],
@@ -332,13 +336,16 @@ def main():
     spec, dims, topo, lower, upper, x0 = get_model(args.model, args.horizon)
     f32 = dict(tol=args.tol, mu_min=1e-5, reg_floor=1e-5, prox_reg=1e-5,
                riccati_backend=args.backend)
-    if args.ls_steps is not None or args.backtrack is not None:
+    if (args.ls_steps is not None or args.backtrack is not None
+            or args.ls_chunk is not None):
         from sip_optimal_control_tpu.solver.settings import LineSearchSettings
         ls_kw = {}
         if args.ls_steps is not None:
             ls_kw["max_steps"] = args.ls_steps
         if args.backtrack is not None:
             ls_kw["backtrack"] = args.backtrack
+        if args.ls_chunk is not None:
+            ls_kw["chunk"] = args.ls_chunk
         f32["line_search"] = LineSearchSettings(**ls_kw)
     cold_settings = Settings(max_iterations=args.cold_iters, **f32)
     warm_settings = Settings(max_iterations=args.warm_iters,

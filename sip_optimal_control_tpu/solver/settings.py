@@ -52,6 +52,14 @@ class LineSearchSettings:
     # inflates the carried regularization instead (Settings.reg_boost_*).
     max_steps: int = 10
     backtrack: float = 0.5
+    # Candidate alphas evaluated PER while-loop trip (vectorized over a
+    # chunk axis: one widened eval_fcg instead of `chunk` sequential
+    # probes).  Under vmap the LS loop runs to the batch's deepest
+    # backtracker, so trips fall from max-depth to ceil(depth/chunk) while
+    # each trip's probe widens on the already-saturated VPU lanes; the
+    # accepted alpha is identical to the sequential search (the largest
+    # candidate passing the test).  1 = classic backtracking.
+    chunk: int = 1
     eta: float = 1e-6          # Armijo slope fraction
     nu_min: float = 1.0        # merit penalty floor
     nu_rho: float = 0.1        # penalty margin: nu >= D/((1-rho) theta)

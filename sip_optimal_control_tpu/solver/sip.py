@@ -669,6 +669,25 @@ def _solve_impl(problem: OCProblem, settings: Settings,
             alpha, k, accepted = carry
             return (~accepted) & (k < ls.max_steps)
 
+        # chunked backtracking: each trip tests `chunk` candidates
+        # [alpha, alpha*bt, ..., alpha*bt^(chunk-1)] in ONE vectorized
+        # probe and selects the largest passing one — same accepted alpha
+        # as the sequential search, ceil(depth/chunk) trips instead of
+        # depth (the vmapped loop runs to the batch max; see
+        # LineSearchSettings.chunk)
+        chunk = max(1, int(ls.chunk))
+        bt_pows = jnp.asarray(
+            [ls.backtrack ** j for j in range(chunk)], dtype)
+
+        def _chunked(alpha, acceptable):
+            """One trip: test the chunk of candidates below `alpha` with
+            `acceptable(alpha_vec) -> ok_vec`; returns (alpha_next, ok)."""
+            alphas = alpha * bt_pows
+            oks = acceptable(alphas)
+            any_ok = jnp.any(oks)
+            sel = alphas[jnp.argmax(oks)]  # first True = largest alpha
+            return jnp.where(any_ok, sel, alphas[-1] * ls.backtrack), any_ok
+
         if ls.use_filter_line_search:
             # Waechter-Biegler-style filter: accept a trial not dominated by
             # any remembered (theta, phi) pair and improving on the current
@@ -691,9 +710,8 @@ def _solve_impl(problem: OCProblem, settings: Settings,
 
             def fls_body(carry):
                 alpha, k, _ = carry
-                ok = filter_trial(alpha)
-                return (jnp.where(ok, alpha, alpha * ls.backtrack), k + 1,
-                        ok)
+                alpha_n, ok = _chunked(alpha, jax.vmap(filter_trial))
+                return (alpha_n, k + chunk, ok)
 
             alpha, _, accepted = lax.while_loop(
                 ls_cond, fls_body,
@@ -709,12 +727,14 @@ def _solve_impl(problem: OCProblem, settings: Settings,
                 st.filt_ph.at[st.it].set(phi_bar0 - ls.gamma_phi * theta0),
                 st.filt_ph)
         else:
+            def armijo_ok(alphas):
+                phis = jax.vmap(lambda a: trial(a)[3])(alphas)
+                return phis <= phi0 + ls.eta * alphas * slope
+
             def ls_body(carry):
                 alpha, k, _ = carry
-                _, _, _, phi_t = trial(alpha)
-                ok = phi_t <= phi0 + ls.eta * alpha * slope
-                alpha_next = jnp.where(ok, alpha, alpha * ls.backtrack)
-                return (alpha_next, k + 1, ok)
+                alpha_n, ok = _chunked(alpha, armijo_ok)
+                return (alpha_n, k + chunk, ok)
 
             alpha, _, accepted = lax.while_loop(
                 ls_cond, ls_body,

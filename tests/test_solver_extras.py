@@ -317,3 +317,37 @@ def test_debug_check_finite_tripwire(capfd):
     out, _ = capfd.readouterr()
     assert "NONFINITE" not in out
     assert int(res.status) == SIPStatus.SOLVED
+
+
+def test_chunked_line_search_matches_sequential():
+    """LineSearchSettings.chunk vectorizes the backtracking probes (chunk
+    candidates per while-loop trip) but must select the SAME alpha as the
+    classic sequential search — so the whole iterate sequence, and hence
+    the solution, is identical.  Exercised on a nonlinear problem whose
+    cold solve actually backtracks, in both merit and filter modes."""
+    from sip_optimal_control_tpu.solver.settings import LineSearchSettings
+    T = 10
+    spec = ModelSpec(
+        dynamics=lambda x, u, th, i: jnp.stack(
+            [x[0] + 0.1 * jnp.sin(x[1]), x[1] + 0.1 * u[0]]),
+        node_cost=lambda x, th, i: 0.5 * jnp.sum((x - 1.0) ** 2)
+        + 0.1 * jnp.cos(3.0 * x[0]),
+        edge_cost=lambda x, u, th, i: 0.05 * jnp.sum(u ** 2),
+        edge_ineq=lambda x, u, th, i: jnp.stack([u[0] - 2.0, -2.0 - u[0]]),
+    )
+    dims = Dimensions.uniform(num_edges=T, state_dim=2, control_dim=1,
+                              edge_g_dim=2)
+    problem = build_problem(spec, dims, Topology.chain(T),
+                            initial_state=jnp.asarray([0.8, -0.5]))
+    for use_filter in (False, True):
+        results = []
+        for chunk in (1, 3, 10):
+            st = Settings(max_iterations=40, line_search=LineSearchSettings(
+                use_filter_line_search=use_filter, chunk=chunk))
+            res = jax.jit(lambda st=st: solve(problem, st))()
+            assert int(res.status) == SIPStatus.SOLVED, (use_filter, chunk)
+            results.append(res)
+        for other in results[1:]:
+            np.testing.assert_array_equal(np.asarray(results[0].vars.u),
+                                          np.asarray(other.vars.u))
+            assert int(results[0].iterations) == int(other.iterations)
