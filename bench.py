@@ -34,6 +34,7 @@ import time
 import numpy as np
 
 _WORKER_ENV = "_SOC_SCALING_WORKER"
+_MP_WORKER_ENV = "_SOC_SCALING_MP_WORKER"
 
 
 def flops_per_newton_iteration(dims) -> float:
@@ -246,6 +247,116 @@ def run_scaling(args):
     }))
 
 
+def _scaling_mp_worker(args):
+    """One OS process of the multi-process scaling measurement.  Joins the
+    2-"host" SPMD program via jax.distributed (the same initialization a
+    multi-host TPU pod uses, cf. tests/test_multiprocess_sharding.py),
+    solves its addressable shard of the global batch, and prints its timed
+    region (process 0 only)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    proc_id = int(os.environ["_SOC_MP_PROC_ID"])
+    num_procs = int(os.environ["_SOC_MP_NUM_PROCS"])
+    if num_procs > 1:
+        jax.distributed.initialize(
+            coordinator_address=f"127.0.0.1:{os.environ['_SOC_MP_PORT']}",
+            num_processes=num_procs, process_id=proc_id)
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from sip_optimal_control_tpu import Settings
+    from sip_optimal_control_tpu.parallel import (scenario_mesh,
+                                                  solve_batch_sharded)
+
+    spec, dims, topo, lower, upper, x0 = get_model(args.model, args.horizon)
+    settings = Settings(max_iterations=args.cold_iters, tol=args.tol,
+                        mu_min=1e-5, reg_floor=1e-5, prox_reg=1e-5)
+    mesh = scenario_mesh()          # all global devices, one per process
+    B = args.batch * num_procs      # weak scaling: fixed batch per process
+    rng = np.random.default_rng(0)  # same seed in every process
+    x0s_np = np.tile(np.asarray(x0, np.float32), (B, 1))
+    x0s_np += 0.05 * rng.standard_normal(x0s_np.shape).astype(np.float32)
+    sharding = NamedSharding(mesh, P("scenario"))
+    x0s = jax.make_array_from_callback(
+        x0s_np.shape, sharding, lambda idx: x0s_np[idx])
+
+    fn = jax.jit(lambda b: solve_batch_sharded(
+        spec, dims, topo, b, settings=settings, mesh=mesh,
+        lower=lower, upper=upper))
+    out = jax.block_until_ready(fn(x0s))  # compile + warm
+    times = []
+    for _ in range(args.reps):
+        t0 = time.time()
+        out = jax.block_until_ready(fn(x0s))
+        times.append(time.time() - t0)
+    _, statuses, stats = out
+    if proc_id == 0:
+        print(json.dumps({"t_best": min(times),
+                          "solved": int(stats.total_solved),
+                          "batch": B}), flush=True)
+
+
+def run_scaling_mp(args):
+    """Multi-PROCESS weak-scaling efficiency: the honest 2-host analog.
+
+    The in-process `--mode scaling` number shares all host cores between
+    its virtual devices, so it UNDER-reports efficiency (the N-device run
+    gets the same silicon as the 1-device run).  Here per-"host" resources
+    are held constant instead: each OS process is pinned (taskset) to its
+    own disjoint core set, the baseline is one process on one such set,
+    and the 2-process run is joined by jax.distributed with collectives
+    crossing the process boundary — exactly a 2-host pod slice with
+    localhost playing the DCN.  efficiency = thr_2p / (2 * thr_1p)."""
+    import socket
+    import multiprocessing
+
+    ncores = multiprocessing.cpu_count()
+    per = max(1, ncores // 2)
+    cores = [f"0-{per - 1}" if per > 1 else "0",
+             f"{per}-{2 * per - 1}" if per > 1 else "1"]
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = str(s.getsockname()[1])
+
+    def spawn(num_procs):
+        env_base = dict(os.environ)
+        env_base[_MP_WORKER_ENV] = "1"
+        env_base["JAX_PLATFORMS"] = "cpu"
+        env_base["_SOC_MP_NUM_PROCS"] = str(num_procs)
+        env_base["_SOC_MP_PORT"] = port
+        procs = []
+        for i in range(num_procs):
+            env = dict(env_base)
+            env["_SOC_MP_PROC_ID"] = str(i)
+            procs.append(subprocess.Popen(
+                ["taskset", "-c", cores[i], sys.executable] + sys.argv,
+                env=env, stdout=subprocess.PIPE, text=True))
+        outs = [p.communicate(timeout=1800)[0] for p in procs]
+        for i, p in enumerate(procs):
+            assert p.returncode == 0, f"worker {i} failed"
+        rec = json.loads(outs[0].strip().splitlines()[-1])
+        return rec["batch"] / rec["t_best"], rec["solved"], rec["batch"]
+
+    thr_1, solved_1, b_1 = spawn(1)
+    thr_2, solved_2, b_2 = spawn(2)
+    eff = thr_2 / (2.0 * thr_1)
+    print(json.dumps({
+        "metric": "scaling_efficiency_2proc_pinned",
+        "value": round(eff, 4),
+        "unit": "ratio",
+        "vs_baseline": round(eff / 0.80, 4),
+        "throughput_1proc": round(thr_1, 1),
+        "throughput_2proc": round(thr_2, 1),
+        "cores_per_proc": per,
+        "per_proc_batch": args.batch,
+        "solved_frac_1proc": round(solved_1 / b_1, 4),
+        "solved_frac_2proc": round(solved_2 / b_2, 4),
+    }))
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch", type=int, default=4096)
@@ -258,7 +369,8 @@ def main():
                         "supports --mode cold only: the receding-horizon "
                         "shift warm start is a chain concept")
     parser.add_argument("--mode",
-                        choices=["mpc", "cold", "latency", "scaling"],
+                        choices=["mpc", "cold", "latency", "scaling",
+                                 "scaling-mp"],
                         default="mpc")
     parser.add_argument("--warm-iters", type=int, default=16)
     parser.add_argument("--warm-mu", type=float, default=1e-4,
@@ -313,6 +425,13 @@ def main():
 
     if args.mode == "scaling":
         run_scaling(args)
+        return
+
+    if args.mode == "scaling-mp":
+        if os.environ.get(_MP_WORKER_ENV) == "1":
+            _scaling_mp_worker(args)
+        else:
+            run_scaling_mp(args)
         return
 
     if args.model == "robust_tree" and args.mode != "cold":
