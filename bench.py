@@ -35,6 +35,9 @@ import numpy as np
 
 _WORKER_ENV = "_SOC_SCALING_WORKER"
 _MP_WORKER_ENV = "_SOC_SCALING_MP_WORKER"
+# persistent XLA executable cache, relative to the repo (ADVICE r2)
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".jax_cache")
 
 
 def flops_per_newton_iteration(dims) -> float:
@@ -262,7 +265,7 @@ def _scaling_mp_worker(args):
         jax.distributed.initialize(
             coordinator_address=f"127.0.0.1:{os.environ['_SOC_MP_PORT']}",
             num_processes=num_procs, process_id=proc_id)
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import jax.numpy as jnp
@@ -314,6 +317,9 @@ def run_scaling_mp(args):
     import multiprocessing
 
     ncores = multiprocessing.cpu_count()
+    if ncores < 2:
+        sys.exit("--mode scaling-mp needs >= 2 CPU cores to pin two "
+                 "disjoint core sets")
     per = max(1, ncores // 2)
     cores = [f"0-{per - 1}" if per > 1 else "0",
              f"{per}-{2 * per - 1}" if per > 1 else "1"]
@@ -449,7 +455,7 @@ def main():
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     # persistent executable cache: repeated harness invocations skip the
     # 30-60 s XLA compile of the jitted MPC scan
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     spec, dims, topo, lower, upper, x0 = get_model(args.model, args.horizon)

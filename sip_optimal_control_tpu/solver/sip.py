@@ -676,17 +676,25 @@ def _solve_impl(problem: OCProblem, settings: Settings,
         # depth (the vmapped loop runs to the batch max; see
         # LineSearchSettings.chunk)
         chunk = max(1, int(ls.chunk))
-        bt_pows = jnp.asarray(
-            [ls.backtrack ** j for j in range(chunk)], dtype)
+        bt = jnp.asarray(ls.backtrack, dtype)
 
-        def _chunked(alpha, acceptable):
+        def _chunked(alpha, k, acceptable):
             """One trip: test the chunk of candidates below `alpha` with
-            `acceptable(alpha_vec) -> ok_vec`; returns (alpha_next, ok)."""
-            alphas = alpha * bt_pows
-            oks = acceptable(alphas)
+            `acceptable(alpha_vec) -> ok_vec`; returns (alpha_next, ok).
+            Candidates are built by ITERATED multiplication in dtype
+            (bitwise-identical to the sequential chunk=1 search for any
+            backtrack factor), and candidates past the max_steps trial
+            budget are masked out so the accepted alpha never depends on
+            whether chunk divides max_steps (ADVICE r2)."""
+            cands = [alpha]
+            for _ in range(chunk - 1):
+                cands.append(cands[-1] * bt)
+            alphas = jnp.stack(cands)
+            oks = acceptable(alphas) & ((k + jnp.arange(chunk))
+                                        < ls.max_steps)
             any_ok = jnp.any(oks)
             sel = alphas[jnp.argmax(oks)]  # first True = largest alpha
-            return jnp.where(any_ok, sel, alphas[-1] * ls.backtrack), any_ok
+            return jnp.where(any_ok, sel, alphas[-1] * bt), any_ok
 
         if ls.use_filter_line_search:
             # Waechter-Biegler-style filter: accept a trial not dominated by
@@ -710,7 +718,7 @@ def _solve_impl(problem: OCProblem, settings: Settings,
 
             def fls_body(carry):
                 alpha, k, _ = carry
-                alpha_n, ok = _chunked(alpha, jax.vmap(filter_trial))
+                alpha_n, ok = _chunked(alpha, k, jax.vmap(filter_trial))
                 return (alpha_n, k + chunk, ok)
 
             alpha, _, accepted = lax.while_loop(
@@ -733,7 +741,7 @@ def _solve_impl(problem: OCProblem, settings: Settings,
 
             def ls_body(carry):
                 alpha, k, _ = carry
-                alpha_n, ok = _chunked(alpha, armijo_ok)
+                alpha_n, ok = _chunked(alpha, k, armijo_ok)
                 return (alpha_n, k + chunk, ok)
 
             alpha, _, accepted = lax.while_loop(
@@ -851,7 +859,23 @@ def _solve_impl(problem: OCProblem, settings: Settings,
     def cond(st: _IPMState):
         return st.status == SIPStatus.RUNNING
 
-    final = lax.while_loop(cond, body, state0)
+    if settings.fixed_iterations:
+        # Real-time-iteration mode: exactly max_iterations trips as a scan
+        # (static trip count, no convergence test between trips).  The
+        # explicit select below reproduces the while_loop's vmap semantics
+        # (lanes whose cond is False recompute but keep their old state),
+        # so results per scenario are identical whenever the scenario
+        # terminates within the budget; see Settings.fixed_iterations.
+        def scan_body(st, _):
+            new = body(st)
+            keep = cond(st)
+            st_n = _tmap(lambda a, b: jnp.where(keep, a, b), new, st)
+            return st_n, None
+
+        final, _ = lax.scan(scan_body, state0, None,
+                            length=settings.max_iterations)
+    else:
+        final = lax.while_loop(cond, body, state0)
 
     status = jnp.where(final.status == SIPStatus.RUNNING,
                        jnp.int32(SIPStatus.MAX_ITERATIONS), final.status)

@@ -339,11 +339,18 @@ def test_chunked_line_search_matches_sequential():
                               edge_g_dim=2)
     problem = build_problem(spec, dims, Topology.chain(T),
                             initial_state=jnp.asarray([0.8, -0.5]))
-    for use_filter in (False, True):
+    # chunk=3 with the default max_steps=10 exercises the trial-budget
+    # masking (chunk does not divide max_steps; ADVICE r2 medium);
+    # backtrack=0.7 exercises bitwise-identical candidate generation for a
+    # factor whose powers are not exactly representable (ADVICE r2 low) —
+    # chunked candidates are built by the same iterated dtype
+    # multiplication as the sequential search.
+    for use_filter, backtrack in ((False, 0.5), (True, 0.5), (False, 0.7)):
         results = []
         for chunk in (1, 3, 10):
             st = Settings(max_iterations=40, line_search=LineSearchSettings(
-                use_filter_line_search=use_filter, chunk=chunk))
+                use_filter_line_search=use_filter, chunk=chunk,
+                backtrack=backtrack))
             res = jax.jit(lambda st=st: solve(problem, st))()
             assert int(res.status) == SIPStatus.SOLVED, (use_filter, chunk)
             results.append(res)
@@ -351,3 +358,53 @@ def test_chunked_line_search_matches_sequential():
             np.testing.assert_array_equal(np.asarray(results[0].vars.u),
                                           np.asarray(other.vars.u))
             assert int(results[0].iterations) == int(other.iterations)
+
+
+def test_fixed_iterations_matches_while_loop():
+    """Settings.fixed_iterations runs the outer loop as a static-trip
+    lax.scan (real-time-iteration mode).  Per-scenario results must be
+    IDENTICAL to the while_loop path: a scenario's state freezes once its
+    status leaves RUNNING, which is exactly the select-masking a vmapped
+    while_loop applies to finished lanes.  Checked solved (terminates
+    within budget) and truncated (budget smaller than need) cases, plus a
+    batched solve."""
+    T = 10
+    spec = ModelSpec(
+        dynamics=lambda x, u, th, i: jnp.stack(
+            [x[0] + 0.1 * jnp.sin(x[1]), x[1] + 0.1 * u[0]]),
+        node_cost=lambda x, th, i: 0.5 * jnp.sum((x - 1.0) ** 2),
+        edge_cost=lambda x, u, th, i: 0.05 * jnp.sum(u ** 2),
+        edge_ineq=lambda x, u, th, i: jnp.stack([u[0] - 2.0, -2.0 - u[0]]),
+    )
+    dims = Dimensions.uniform(num_edges=T, state_dim=2, control_dim=1,
+                              edge_g_dim=2)
+
+    def solve_from(x0, budget, fixed):
+        problem = build_problem(spec, dims, Topology.chain(T),
+                                initial_state=x0)
+        return solve(problem, Settings(max_iterations=budget,
+                                       fixed_iterations=fixed))
+
+    for budget in (40, 4):  # terminates-in-budget and truncated
+        x0 = jnp.asarray([0.8, -0.5])
+        rw = jax.jit(lambda: solve_from(x0, budget, False))()
+        rf = jax.jit(lambda: solve_from(x0, budget, True))()
+        assert int(rw.status) == int(rf.status)
+        assert int(rw.iterations) == int(rf.iterations)
+        np.testing.assert_array_equal(np.asarray(rw.vars.u),
+                                      np.asarray(rf.vars.u))
+    if budget == 40:
+        assert int(rw.status) == SIPStatus.SOLVED
+
+    # batched: mixed convergence speeds across lanes
+    x0s = jnp.asarray([[0.8, -0.5], [0.1, 0.0], [-1.2, 0.7]])
+    rw = jax.jit(jax.vmap(lambda x0: solve_from(x0, 25, False)))(x0s)
+    rf = jax.jit(jax.vmap(lambda x0: solve_from(x0, 25, True)))(x0s)
+    np.testing.assert_array_equal(np.asarray(rw.status),
+                                  np.asarray(rf.status))
+    np.testing.assert_array_equal(np.asarray(rw.iterations),
+                                  np.asarray(rf.iterations))
+    np.testing.assert_array_equal(np.asarray(rw.vars.u),
+                                  np.asarray(rf.vars.u))
+    np.testing.assert_array_equal(np.asarray(rw.kkt_error),
+                                  np.asarray(rf.kkt_error))
