@@ -194,6 +194,9 @@ def run_scaling(args):
         env = dict(os.environ)
         env[_WORKER_ENV] = "1"
         env["JAX_PLATFORMS"] = "cpu"
+        # CPU-only worker: skip axon registration so it cannot hold the
+        # TPU tunnel's serialized client session (cf. tests/conftest.py)
+        env["PALLAS_AXON_POOL_IPS"] = ""
         env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
                             + f" --xla_force_host_platform_device_count="
                             f"{args.devices}")
@@ -331,6 +334,8 @@ def run_scaling_mp(args):
         env_base = dict(os.environ)
         env_base[_MP_WORKER_ENV] = "1"
         env_base["JAX_PLATFORMS"] = "cpu"
+        # CPU-only workers must not hold the TPU tunnel session
+        env_base["PALLAS_AXON_POOL_IPS"] = ""
         env_base["_SOC_MP_NUM_PROCS"] = str(num_procs)
         env_base["_SOC_MP_PORT"] = port
         procs = []
@@ -425,7 +430,23 @@ def main():
                         "uses the exact KKT residual)")
     parser.add_argument("--devices", type=int, default=8,
                         help="mesh size for --mode scaling")
-    parser.add_argument("--reps", type=int, default=10)
+    parser.add_argument("--reps", type=int, default=5)
+    parser.add_argument("--time-budget", type=float, default=210.0,
+                        help="soft wall-clock budget (s): the timed-rep "
+                        "loop stops early (>= 2 reps) once total elapsed "
+                        "time exceeds this, so the JSON line is always "
+                        "delivered inside the driver's measurement window "
+                        "even when the TPU tunnel stalls session acquire "
+                        "(VERDICT r2 item 1)")
+    parser.add_argument("--rti", type=int, default=None, metavar="K",
+                        help="real-time-iteration mode: warm re-solves run "
+                        "EXACTLY K fixed IPM iterations (lax.scan, no "
+                        "while_loop) — removes the batch-straggler waste "
+                        "of running every dispatch to the slowest "
+                        "scenario; truncated solves carry warm state to "
+                        "the next step. Quality is tracked by "
+                        "final_state_rms / kkt percentiles, not "
+                        "solved_frac")
     parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args()
 
@@ -444,6 +465,8 @@ def main():
         sys.exit("--model robust_tree supports --mode cold only "
                  "(tree topologies have no shift warm start)")
 
+    _T0 = time.time()
+    phases = {}
     import jax
     import jax.numpy as jnp
     from sip_optimal_control_tpu import Settings, build_problem, solve
@@ -458,7 +481,23 @@ def main():
     jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    # Time the first trivial device op separately: the remote-TPU tunnel
+    # serializes client sessions, and a new process can block here for
+    # MINUTES waiting for a previous client's session to clear (measured
+    # 157-335 s on this box).  Surfacing it as `session_acquire_s` keeps
+    # that environmental stall out of the compile/run numbers.
+    t0 = time.time()
+    jax.block_until_ready(jnp.ones((8,)) + 1.0)
+    phases["session_acquire_s"] = round(time.time() - t0, 1)
+
+    def mark(name):
+        phases[name] = round(time.time() - _T0, 1)
+        if args.verbose:
+            print(f"# [{phases[name]:7.1f}s] {name}", file=sys.stderr,
+                  flush=True)
+
     spec, dims, topo, lower, upper, x0 = get_model(args.model, args.horizon)
+    mark("t_model")
     f32 = dict(tol=args.tol, mu_min=1e-5, reg_floor=1e-5, prox_reg=1e-5,
                riccati_backend=args.backend)
     if (args.ls_steps is not None or args.backtrack is not None
@@ -473,8 +512,21 @@ def main():
             ls_kw["chunk"] = args.ls_chunk
         f32["line_search"] = LineSearchSettings(**ls_kw)
     cold_settings = Settings(max_iterations=args.cold_iters, **f32)
-    warm_settings = Settings(max_iterations=args.warm_iters,
-                             mu_init=args.warm_mu, **f32)
+    if args.rti is not None:
+        # fixed-trip RTI: K iterations for everyone, no while_loop; LS
+        # probes fully vectorized (chunk = depth -> a single trip) unless
+        # the user asked for a specific chunk
+        if "line_search" not in f32:
+            from sip_optimal_control_tpu.solver.settings import \
+                LineSearchSettings
+            f32["line_search"] = LineSearchSettings(
+                chunk=LineSearchSettings.max_steps)
+        warm_settings = Settings(max_iterations=args.rti,
+                                 fixed_iterations=True,
+                                 mu_init=args.warm_mu, **f32)
+    else:
+        warm_settings = Settings(max_iterations=args.warm_iters,
+                                 mu_init=args.warm_mu, **f32)
 
     rng = np.random.default_rng(0)
     n = dims.max_state_dim
@@ -523,35 +575,63 @@ def main():
         jfn = jax.jit(jax.vmap(cold_one))
         t0 = time.time()
         out = jax.block_until_ready(jfn(x0s))
-        compile_time = time.time() - t0
+        phases["compile_s"] = round(time.time() - t0, 1)
         times = []
         for _ in range(args.reps):
             t0 = time.time()
             out = jax.block_until_ready(jfn(x0s))
             times.append(time.time() - t0)
+            if time.time() - _T0 > args.time_budget and len(times) >= 2:
+                break
         statuses, iters, kkt = (np.asarray(out[1])[None],
                                 np.asarray(out[2])[None],
                                 np.asarray(out[3])[None])
         solves_per_call = args.batch
         metric = f"batched_cold_solves_per_sec_per_chip_h{args.horizon}"
     else:
-        # untimed cold phase -> warm-start state
-        cold_step = build_mpc_scan(spec, dims, topo, lower, upper,
-                                   cold_settings, args.hessian)
+        # ONE compiled program serves cold-start, warmup and the timed
+        # region (VERDICT r2 item 1: the old separate cold-start program
+        # roughly doubled XLA compile time and the persistent-cache
+        # footprint).  The cold start is the warm program itself, started
+        # from constant trajectories at each scenario's x0: full-workspace
+        # warm starts carry solver state across dispatches, so the
+        # warmup dispatches converge the fleet exactly like the old
+        # dedicated 100-iteration cold program did, at zero extra compile.
+        from sip_optimal_control_tpu.solver.sip import Primal, YVec
         warm_step = build_mpc_scan(spec, dims, topo, lower, upper,
                                    warm_settings, args.hessian,
                                    steps_per_call=args.steps_per_call,
                                    noise=args.noise, batch=args.batch)
+        B, N, E = args.batch, dims.num_nodes, dims.num_edges
+        n, m = dims.max_state_dim, dims.max_control_dim
+        wv = Primal(x=jnp.tile(x0s[:, None, :], (1, N, 1)),
+                    u=jnp.zeros((B, E, m), jnp.float32),
+                    theta=jnp.zeros((B, dims.theta_dim), jnp.float32))
+        wy = YVec(dyn=jnp.zeros((B, N, n), jnp.float32),
+                  nc=jnp.zeros((B, N, dims.max_node_c_dim), jnp.float32),
+                  ec=jnp.zeros((B, E, dims.max_edge_c_dim), jnp.float32))
+        jax.block_until_ready((x0s, wv, wy))
+        mark("t_inputs_on_device")
         t0 = time.time()
-        x_c, wv, wy, statuses, iters, kkt = jax.block_until_ready(
-            cold_step(x0s, None, None))
+        lowered = warm_step.lower(x0s, wv, wy)
+        phases["trace_s"] = round(time.time() - t0, 1)
+        t0 = time.time()
+        compiled = lowered.compile()
+        phases["compile_s"] = round(time.time() - t0, 1)
+        mark("t_compiled")
+        warm_step = compiled
+        t0 = time.time()
+        out = jax.block_until_ready(warm_step(x0s, wv, wy))
+        phases["first_run_s"] = round(time.time() - t0, 1)
         # advance the receding horizon (untimed) to a representative state
-        # (warmup_steps counts MPC steps, not dispatches)
-        state = (x_c, wv, wy)
-        for _ in range(-(-args.warmup_steps // args.steps_per_call)):
+        # (warmup_steps counts MPC steps, not dispatches; the first
+        # dispatch above already did steps_per_call of them)
+        state = out[:3]
+        t0 = time.time()
+        for _ in range(-(-args.warmup_steps // args.steps_per_call) - 1):
             out = jax.block_until_ready(warm_step(*state))
             state = out[:3]
-        compile_time = time.time() - t0
+        phases["warmup_s"] = round(time.time() - t0, 1)
 
         # time the SAME warm step repeatedly (deterministic workload)
         x_c, wv, wy = state
@@ -560,11 +640,15 @@ def main():
             t0 = time.time()
             out = jax.block_until_ready(warm_step(x_c, wv, wy))
             times.append(time.time() - t0)
+            if time.time() - _T0 > args.time_budget and len(times) >= 2:
+                break
+        mark("t_timed_done")
         # [steps, batch] quality stats over the WHOLE timed region
         statuses, iters, kkt = (
             np.asarray(out[3]).reshape(-1, args.batch),
             np.asarray(out[4]).reshape(-1, args.batch),
             np.asarray(out[5]).reshape(-1, args.batch))
+        mark("t_fetched")
         # closed-loop CONTROL quality: RMS plant state after the timed
         # region (the real-time-iteration question is whether truncated
         # re-solves still regulate, not whether each one reached tol)
@@ -579,16 +663,41 @@ def main():
     mean_iters = float(np.mean(iters))
     finite_kkt = kkt[np.isfinite(kkt)]
     max_kkt = float(np.max(finite_kkt)) if finite_kkt.size else -1.0
+    p50_kkt = float(np.percentile(finite_kkt, 50)) if finite_kkt.size \
+        else -1.0
+    p99_kkt = float(np.percentile(finite_kkt, 99)) if finite_kkt.size \
+        else -1.0
 
     # Utilization: the vmapped while_loop executes each scan step to the
     # batch's slowest scenario, so hardware trips = sum over steps of the
-    # per-step batch max; useful trips = every scenario's own count.
+    # per-step batch max; useful trips = every scenario's own count.  In
+    # --rti mode the trip count is the fixed budget K instead.
     fpi = flops_per_newton_iteration(dims)
-    hw_iters = float(np.sum(np.max(iters, axis=1))) * args.batch
+    if args.rti is not None and args.mode == "mpc":
+        hw_iters = float(args.rti * statuses.shape[0]) * args.batch
+    else:
+        hw_iters = float(np.sum(np.max(iters, axis=1))) * args.batch
     useful_iters = float(np.sum(iters))
     hw_flops_per_sec = hw_iters * fpi / t_best
     dev = jax.devices()[0]
     peak = peak_flops_bf16(dev)
+
+    # ----- quality bars (VERDICT r2 item 3) ------------------------------
+    # `usable` mirrors the failsafe inside the MPC step: SOLVED, or
+    # truncated (MAX_ITERATIONS) but still in a sane KKT neighborhood.
+    usable_frac = float(np.mean(
+        (statuses == 0) | ((statuses == 1) & (kkt < 1e2))))
+    quality = {"usable_frac": round(usable_frac, 4)}
+    quality_ok = usable_frac >= 0.99
+    if args.mode == "mpc":
+        # Closed-loop bar: the fully-converged controller on this exact
+        # noise seed regulates to final_state_rms ~= RMS_FLOOR (measured
+        # with --warm-iters 30, see COVERAGE.md); an RTI/truncated config
+        # must stay within 25% of that floor to count as "regulating".
+        RMS_FLOOR = {"cartpole": 0.83}.get(args.model)
+        if RMS_FLOOR is not None and args.noise == 0.05:
+            quality["final_state_rms_bar"] = round(1.25 * RMS_FLOOR, 3)
+            quality_ok &= final_state_rms <= 1.25 * RMS_FLOOR
 
     record = {
         "metric": metric,
@@ -600,6 +709,11 @@ def main():
         "diverged_frac": round(diverged_frac, 5),
         "mean_iterations": round(mean_iters, 2),
         "max_kkt_error": float(f"{max_kkt:.3e}"),
+        "p50_kkt_error": float(f"{p50_kkt:.3e}"),
+        "p99_kkt_error": float(f"{p99_kkt:.3e}"),
+        **quality,
+        "quality_ok": bool(quality_ok),
+        **({"rti_iters": args.rti} if args.rti is not None else {}),
         "tol": args.tol,
         "noise": args.noise,
         "batch": args.batch,
@@ -616,13 +730,19 @@ def main():
         # vmapped loop runs every scenario to the batch's slowest)
         "batch_efficiency": round(useful_iters / max(hw_iters, 1.0), 4),
         "platform": jax.default_backend(),
+        # phase breakdown (session_acquire_s is the remote tunnel waiting
+        # for a previous client's session to clear — environmental, not
+        # this program's work)
+        **phases,
+        "total_wall_s": round(time.time() - _T0, 1),
+        "timed_reps": len(times),
     }
     if peak > 0:
         record["pct_peak_bf16"] = round(100.0 * hw_flops_per_sec / peak, 3)
     if args.verbose:
         print(f"# backend={jax.default_backend()} "
               f"device={getattr(dev, 'device_kind', '?')} "
-              f"compile={compile_time:.1f}s "
+              f"phases={phases} "
               f"best_batch_time={t_best * 1e3:.2f}ms", file=sys.stderr)
     print(json.dumps(record))
 
