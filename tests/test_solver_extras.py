@@ -408,3 +408,62 @@ def test_fixed_iterations_matches_while_loop():
                                   np.asarray(rf.vars.u))
     np.testing.assert_array_equal(np.asarray(rw.kkt_error),
                                   np.asarray(rf.kkt_error))
+
+
+def test_locally_infeasible_stalls_and_mpc_failsafe_contains_it():
+    """Restoration-class robustness contract (VERDICT r2 item 9).
+
+    The node equality sin(x0) = 1.2 is unsatisfiable; the iterate is drawn
+    toward the infeasible stationary point x0 -> pi/2 where the constraint
+    gradient vanishes.  A solver without feasibility restoration cannot
+    recover from this; the DOCUMENTED behavior contract here is: the
+    rejection safeguard trips (consecutive rejected steps under inflated
+    regularization) and the solve exits STALLED — quickly (well under the
+    iteration budget), with finite iterates, in BOTH line-search modes
+    (the reference's globalization lives in the unvendored @sip core; its
+    visible contract is only that unsolved statuses are reported, which
+    STALLED refines).
+
+    Second half: the MPC failsafe (mpc.run_mpc reset_on_failure) must
+    CONTAIN the failure — zero control applied on failed re-solves, plant
+    states stay finite, and the loop keeps running instead of poisoning
+    its warm state."""
+    from sip_optimal_control_tpu import box_bounds
+    from sip_optimal_control_tpu.mpc import run_mpc
+    from sip_optimal_control_tpu.solver.settings import LineSearchSettings
+
+    T, dt = 5, 0.1
+    spec = ModelSpec(
+        dynamics=lambda x, u, th, i: jnp.stack(
+            [x[0] + dt * x[1], x[1] + dt * u[0]]),
+        node_cost=lambda x, th, i: 0.5 * jnp.sum(x ** 2),
+        edge_cost=lambda x, u, th, i: 0.05 * jnp.sum(u ** 2),
+        node_eq=lambda x, th, i: jnp.where(
+            i == T, jnp.sin(x[0]) - 1.2, 0.0)[None],
+    )
+    dims = Dimensions.uniform(num_edges=T, state_dim=2, control_dim=1,
+                              node_c_dim=1)
+    lower, upper = box_bounds(dims, u_lower=-3.0, u_upper=3.0)
+    problem = build_problem(spec, dims, Topology.chain(T),
+                            initial_state=jnp.asarray([1.0, 0.0]),
+                            lower=lower, upper=upper)
+    for use_filter in (False, True):
+        st = Settings(max_iterations=300, line_search=LineSearchSettings(
+            use_filter_line_search=use_filter))
+        res = jax.jit(lambda st=st: solve(problem, st))()
+        assert int(res.status) == SIPStatus.STALLED, (
+            use_filter, int(res.status))
+        assert int(res.iterations) < 60        # gives up fast, no burn
+        assert bool(jnp.all(jnp.isfinite(res.vars.x)))
+        assert bool(jnp.all(jnp.isfinite(res.vars.u)))
+
+    # MPC failsafe: every re-solve fails, so every applied control is the
+    # zero fallback and the plant just drifts under its own (stable-ish)
+    # dynamics — finite throughout, statuses all non-SOLVED.
+    trace = jax.jit(lambda: run_mpc(
+        spec, dims, Topology.chain(T), jnp.asarray([1.0, 0.0]),
+        n_steps=5, settings=Settings(max_iterations=40),
+        lower=lower, upper=upper))()
+    assert bool(jnp.all(jnp.isfinite(trace.states)))
+    assert bool(jnp.all(trace.statuses != SIPStatus.SOLVED))
+    np.testing.assert_allclose(np.asarray(trace.controls), 0.0, atol=0.0)
