@@ -1,0 +1,40 @@
+"""Smoke test for `bench.py --mode scaling-mp` (VERDICT r2 item 6).
+
+Runs the honest multi-process weak-scaling harness with tiny sizes and
+asserts it PRODUCES ITS RECORD: a JSON line with the efficiency metric and
+sane quality fields.  The numbers at this size measure dispatch overhead,
+not scaling — the test only pins the mode's contract (it runs, both
+workers join the jax.distributed program, the record parses); recorded
+figures live in COVERAGE.md.
+"""
+
+import json
+import multiprocessing
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.skipif(multiprocessing.cpu_count() < 2,
+                    reason="needs >= 2 cores for disjoint pinning")
+def test_scaling_mp_produces_record():
+    env = dict(os.environ)
+    # keep workers off the TPU tunnel (see conftest) and off x64 (bench
+    # settings are f32-tuned)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"),
+         "--mode", "scaling-mp", "--batch", "4", "--horizon", "8",
+         "--cold-iters", "15", "--reps", "2", "--tol", "1e-2"],
+        env=env, capture_output=True, text=True, timeout=900, cwd=REPO)
+    assert out.returncode == 0, out.stderr[-2000:]
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["metric"] == "scaling_efficiency_2proc_pinned"
+    assert rec["value"] > 0.0
+    assert rec["throughput_1proc"] > 0.0
+    assert rec["throughput_2proc"] > 0.0
+    assert 0.0 <= rec["solved_frac_2proc"] <= 1.0
