@@ -55,10 +55,17 @@ class LineSearchSettings:
     # Candidate alphas evaluated PER while-loop trip (vectorized over a
     # chunk axis: one widened eval_fcg instead of `chunk` sequential
     # probes).  Under vmap the LS loop runs to the batch's deepest
-    # backtracker, so trips fall from max-depth to ceil(depth/chunk) while
-    # each trip's probe widens on the already-saturated VPU lanes; the
+    # backtracker, so trips fall from max-depth to ceil(depth/chunk); the
     # accepted alpha is identical to the sequential search (the largest
-    # candidate passing the test).  1 = classic backtracking.
+    # in-budget candidate passing the test).  TRADEOFF: every trip pays
+    # chunk x the eval_fcg FLOPs/memory even when the first candidate is
+    # accepted (the common case near convergence) — whether the widened
+    # probe is cheaper than extra trips is workload-dependent, which is
+    # why the default stays 1 (classic backtracking).  Measured on the
+    # disturbance-MPC bench (TPU v5e, batch 4096, while-loop solver):
+    # chunk 10 -> +6% solves/s, chunk 5 -> +3%, chunk 3 -> -5%.  In
+    # fixed-trip RTI mode chunk = max_steps makes the whole LS a single
+    # vectorized trip (what bench.py --rti uses).
     chunk: int = 1
     eta: float = 1e-6          # Armijo slope fraction
     nu_min: float = 1.0        # merit penalty floor

@@ -79,6 +79,10 @@ def test_two_process_sharded_solve():
     env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
                         + " --xla_force_host_platform_device_count=4").strip()
     cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # persistent compile cache: the 4-virtual-device XLA:CPU compile
+    # dominates this test's 85 s wall and is identical across runs
+    env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(cwd, ".jax_cache")
+    env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0.3"
     procs = [subprocess.Popen(
         [sys.executable, "-c", _WORKER, str(i), "2", port],
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,

@@ -44,8 +44,19 @@ np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref), atol=1e-10)
 print("SHARDING_OK")
 """
 
+def _cache_env(env):
+    """Point the subprocess at the repo's persistent compile cache: the
+    8-virtual-device XLA:CPU compile dominates these tests' wall time and
+    is identical across runs (jax honors these env vars natively)."""
+    env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache")
+    env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0.3"
+    return env
+
+
 def test_sharded_solve_matches_vmap():
-    env = dict(os.environ)
+    env = _cache_env(dict(os.environ))
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
                         + " --xla_force_host_platform_device_count=8").strip()
@@ -57,7 +68,7 @@ def test_sharded_solve_matches_vmap():
 
 
 def test_dryrun_multichip_entry():
-    env = dict(os.environ)
+    env = _cache_env(dict(os.environ))
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
                         + " --xla_force_host_platform_device_count=8").strip()
