@@ -319,7 +319,13 @@ def _scaling_mp_worker(args):
         jax.distributed.initialize(
             coordinator_address=f"127.0.0.1:{os.environ['_SOC_MP_PORT']}",
             num_processes=num_procs, process_id=proc_id)
-    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    # DISTINCT cache dir for the CPU workers: the shared .jax_cache can
+    # hold CPU executables produced by the tunnel's remote-compile service
+    # on a different machine type; XLA loads such AOT results with a
+    # machine-feature-mismatch warning and degraded (or unsafe) code,
+    # which serialized this measurement (observed: proc 0 pegged at 100%
+    # on a mismatched executable while proc 1 idled at the collective).
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR + "_mp")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import jax.numpy as jnp
@@ -387,6 +393,14 @@ def run_scaling_mp(args):
         env_base["JAX_PLATFORMS"] = "cpu"
         # CPU-only workers must not hold the TPU tunnel session
         env_base["PALLAS_AXON_POOL_IPS"] = ""
+        # one compute thread per pinned core: XLA:CPU's pool is sized to
+        # ALL visible cores and its idle workers spin-wait, so a 2-thread
+        # pool pinned to 1 core halves itself with context switches
+        # (observed: a persistent ~99% spinner thread next to the real
+        # compute thread)
+        env_base["XLA_FLAGS"] = (env_base.get("XLA_FLAGS", "")
+                                 + " --xla_cpu_multi_thread_eigen=false"
+                                 " intra_op_parallelism_threads=1").strip()
         env_base["_SOC_MP_NUM_PROCS"] = str(num_procs)
         env_base["_SOC_MP_PORT"] = port
         procs = []
