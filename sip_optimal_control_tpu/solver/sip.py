@@ -866,6 +866,13 @@ def _solve_impl(problem: OCProblem, settings: Settings,
         # (lanes whose cond is False recompute but keep their old state),
         # so results per scenario are identical whenever the scenario
         # terminates within the budget; see Settings.fixed_iterations.
+        #
+        # NOTE (measured negative result, r3): excluding the large carried
+        # ModelEval from this select — freezing only the iterate and a
+        # separate objective scalar — REGRESSED throughput ~27% uniformly
+        # across K (88.9k -> 65.1k at K=9, TPU v5e): the select is fused
+        # into the producers nearly for free, and special-casing ev
+        # disrupted the scan's buffer reuse.  Keep the whole-state select.
         def scan_body(st, _):
             new = body(st)
             keep = cond(st)
@@ -876,11 +883,12 @@ def _solve_impl(problem: OCProblem, settings: Settings,
                             length=settings.max_iterations)
     else:
         final = lax.while_loop(cond, body, state0)
+    f_final = final.ev.f
 
     status = jnp.where(final.status == SIPStatus.RUNNING,
                        jnp.int32(SIPStatus.MAX_ITERATIONS), final.status)
 
     return SolveResult(
         vars=final.vars, s=final.s, y=final.y, z=final.z, zl=final.zl,
-        zu=final.zu, f=final.ev.f, status=status, iterations=final.it,
+        zu=final.zu, f=f_final, status=status, iterations=final.it,
         kkt_error=final.kkt_error, mu=final.mu)

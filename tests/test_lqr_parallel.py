@@ -212,9 +212,10 @@ def test_full_sip_solve_with_parallel_riccati():
     x0 = jnp.asarray([1.0, 0.0])
     problem = build_problem(spec, dims, topo, initial_state=x0,
                             lower=lower, upper=upper)
-    res_seq = solve(problem, Settings(max_iterations=40))
-    res_par = solve(problem, Settings(max_iterations=40,
-                                      riccati_backend="assoc"))
+    res_seq = jax.jit(lambda: solve(problem, Settings(
+        max_iterations=40)))()
+    res_par = jax.jit(lambda: solve(problem, Settings(
+        max_iterations=40, riccati_backend="assoc")))()
     assert int(res_seq.status) == 0 and int(res_par.status) == 0
     np.testing.assert_allclose(np.asarray(res_par.vars.u),
                                np.asarray(res_seq.vars.u), atol=1e-6)

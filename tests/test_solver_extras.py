@@ -176,10 +176,10 @@ def test_logging_flags_smoke(capfd):
     dims = Dimensions.uniform(num_edges=T, state_dim=2, control_dim=1)
     problem = build_problem(spec, dims, Topology.chain(T),
                             initial_state=jnp.asarray([1.0, 0.0]))
-    res = solve(problem, Settings(
+    res = jax.jit(lambda: solve(problem, Settings(
         max_iterations=10,
         logging=LoggingSettings(print_logs=True, print_line_search_logs=True,
-                                print_search_direction_logs=True)))
+                                print_search_direction_logs=True))))()
     jax.block_until_ready(res.vars.x)
     assert int(res.status) == SIPStatus.SOLVED
     out, _ = capfd.readouterr()
@@ -232,9 +232,9 @@ def test_derivative_check_channel_prints(capfd):
                               node_g_dim=1)
     problem = build_problem(spec, dims, Topology.chain(T),
                             initial_state=jnp.asarray([1.0, 0.0]))
-    res = solve(problem, Settings(
+    res = jax.jit(lambda: solve(problem, Settings(
         max_iterations=20,
-        logging=LoggingSettings(print_derivative_check_logs=True)))
+        logging=LoggingSettings(print_derivative_check_logs=True))))()
     jax.block_until_ready(res.vars.x)
     out, _ = capfd.readouterr()
     assert "derivative check" in out
@@ -305,14 +305,15 @@ def test_debug_check_finite_tripwire(capfd):
                             initial_state=jnp.asarray([1.0, 0.0]))
     bad_init = Primal(x=jnp.full((T + 1, 2), jnp.nan),
                       u=jnp.zeros((T, 1)), theta=jnp.zeros((0,)))
-    res = solve(problem, Settings(max_iterations=5, debug_check_finite=True),
-                init_vars=bad_init)
+    res = jax.jit(lambda: solve(
+        problem, Settings(max_iterations=5, debug_check_finite=True),
+        init_vars=bad_init))()
     jax.block_until_ready(res.vars.x)
     out, _ = capfd.readouterr()
     assert "NONFINITE" in out, out
     # a clean solve stays silent
-    res = solve(problem, Settings(max_iterations=30,
-                                  debug_check_finite=True))
+    res = jax.jit(lambda: solve(problem, Settings(
+        max_iterations=30, debug_check_finite=True)))()
     jax.block_until_ready(res.vars.x)
     out, _ = capfd.readouterr()
     assert "NONFINITE" not in out
@@ -391,6 +392,9 @@ def test_fixed_iterations_matches_while_loop():
         rf = jax.jit(lambda: solve_from(x0, budget, True))()
         assert int(rw.status) == int(rf.status)
         assert int(rw.iterations) == int(rf.iterations)
+        # f is frozen separately in RTI mode (the ModelEval is excluded
+        # from the freeze select); it must still equal the while_loop's
+        assert float(rw.f) == float(rf.f)
         np.testing.assert_array_equal(np.asarray(rw.vars.u),
                                       np.asarray(rf.vars.u))
     if budget == 40:

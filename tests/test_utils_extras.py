@@ -90,10 +90,11 @@ def test_warm_start_checkpoint_round_trip(tmp_path):
     np.testing.assert_array_equal(np.asarray(res.y.ec), loaded_y.ec)
 
     st2 = Settings(max_iterations=10, mu_init=1e-4)
-    resume = solve(problem, st2, init_vars=jax.tree.map(jnp.asarray,
-                                                        loaded_vars),
-                   init_y=jax.tree.map(jnp.asarray, loaded_y))
-    mem = solve(problem, st2, init_vars=res.vars, init_y=res.y)
+    resume_fn = jax.jit(
+        lambda v, y: solve(problem, st2, init_vars=v, init_y=y))
+    resume = resume_fn(jax.tree.map(jnp.asarray, loaded_vars),
+                       jax.tree.map(jnp.asarray, loaded_y))
+    mem = resume_fn(res.vars, res.y)
     assert int(resume.status) == SIPStatus.SOLVED
     np.testing.assert_allclose(np.asarray(resume.vars.u),
                                np.asarray(mem.vars.u), rtol=0, atol=0)
