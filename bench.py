@@ -13,14 +13,14 @@ from constant trajectories) performs the untimed cold phase; the timed
 region scans --steps-per-call MPC steps on device (the reference's
 warm-start contract: tests/variable_dimensions_test.cpp:437-446).
 
-Default solver mode is fixed-trip REAL-TIME ITERATION (--rti 9): every
-re-solve runs exactly 9 IPM iterations as a lax.scan, so the batch never
-waits on its slowest member (the while-loop mode wasted 77% of its trips on
-stragglers).  Truncated re-solves carry their warm state to the next step;
-closed-loop quality is gated by `final_state_rms` against 1.25x the
-measured converged-controller floor plus `usable_frac >= 0.99`
-(quality_ok in the JSON).  --rti 0 restores the convergence-tested
-while-loop mode.
+Default solver mode is fixed-trip REAL-TIME ITERATION (--rti 7 with a
+soft 3e-3 barrier restart): every re-solve runs exactly 7 IPM iterations
+as a lax.scan, so the batch never waits on its slowest member (the
+while-loop mode wasted 77% of its trips on stragglers).  Truncated
+re-solves carry their warm state to the next step; closed-loop quality is
+gated by `final_state_rms` against 1.25x the measured converged-controller
+floor plus `usable_frac >= 0.99` (quality_ok in the JSON).  --rti 0
+restores the convergence-tested while-loop mode.
 
 Modes:
   mpc      (default) steady-state warm-started throughput
@@ -449,8 +449,13 @@ def main():
                                  "scaling-mp"],
                         default="mpc")
     parser.add_argument("--warm-iters", type=int, default=16)
-    parser.add_argument("--warm-mu", type=float, default=1e-4,
-                        help="barrier restart for warm-started re-solves")
+    parser.add_argument("--warm-mu", type=float, default=None,
+                        help="barrier restart for warm-started re-solves "
+                        "(default: 3e-3 in RTI mode, 1e-4 in while-loop "
+                        "mode — the soft restart is what lets a fixed "
+                        "7-iteration budget recenter disturbed scenarios: "
+                        "measured rms 0.843 at 3e-3 vs 3.4+ at 1e-4 for "
+                        "K<=7)")
     parser.add_argument("--cold-iters", type=int, default=100)
     parser.add_argument("--warmup-steps", type=int, default=100,
                         help="untimed MPC steps before the timed region "
@@ -509,8 +514,8 @@ def main():
                         "delivered inside the driver's measurement window "
                         "even when the TPU tunnel stalls session acquire "
                         "(VERDICT r2 item 1)")
-    parser.add_argument("--rti", type=int, default=9, metavar="K",
-                        help="real-time-iteration mode (DEFAULT, K=9): "
+    parser.add_argument("--rti", type=int, default=7, metavar="K",
+                        help="real-time-iteration mode (DEFAULT, K=7): "
                         "warm re-solves run EXACTLY K fixed IPM "
                         "iterations (lax.scan, no while_loop) — removes "
                         "the batch-straggler waste of running every "
@@ -519,12 +524,12 @@ def main():
                         "solves carry warm state to the next step (their "
                         "fraction is 1 - solved_frac) and closed-loop "
                         "quality is gated by the final_state_rms bar + "
-                        "usable_frac instead of solved_frac. K=9 is the "
-                        "fastest sweep point that passes the bar "
-                        "(TPU v5e: K=9 88.9k rms 0.803 PASS; K=8 99.4k "
-                        "rms 1.003 FAIL vs bar 0.988). 0 = off "
-                        "(convergence-tested while_loop; the "
-                        "--warm-iters cap applies)")
+                        "usable_frac instead of solved_frac. (K, warm_mu) "
+                        "= (7, 3e-3) is the fastest sweep point passing "
+                        "the bar (TPU v5e: 113.3k solves/s rms 0.843 "
+                        "PASS; K=6 130.5k rms >= 1.17 at every tried mu, "
+                        "FAIL vs bar 0.988). 0 = off (convergence-tested "
+                        "while_loop; the --warm-iters cap applies)")
     parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args()
 
@@ -595,6 +600,8 @@ def main():
         args.rti = None         # --rti 0: classic while-loop mode
     if args.mode != "mpc":
         args.rti = None         # RTI is a warm-re-solve (mpc-mode) concept
+    if args.warm_mu is None:
+        args.warm_mu = 3e-3 if args.rti is not None else 1e-4
     cold_settings = Settings(max_iterations=args.cold_iters, **f32)
     if args.rti is not None:
         # fixed-trip RTI: K iterations for everyone, no while_loop; LS
