@@ -759,7 +759,13 @@ def main():
         solves_per_call = args.batch * args.steps_per_call
         metric = f"batched_mpc_solves_per_sec_per_chip_h{args.horizon}"
 
-    t_best = min(times)
+    # Median, not best-of: the remote tunnel's block_until_ready can
+    # glitch-return in <1 ms (observed once in ~60 runs), and a poisoned
+    # min() would report a nonsense headline.  Reps faster than 10% of the
+    # median are discarded as transport glitches.
+    med = float(np.median(times))
+    times = [t for t in times if t > 0.1 * med] or [med]
+    t_best = float(np.median(times))
     solves_per_sec = solves_per_call / t_best
     solved_frac = float(np.mean(statuses == 0))
     diverged_frac = float(np.mean(statuses >= 2))

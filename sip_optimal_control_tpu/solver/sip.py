@@ -768,7 +768,13 @@ def _solve_impl(problem: OCProblem, settings: Settings,
         consec_rej_n = jnp.where(step_rejected, st.consec_rej + 1,
                                  jnp.zeros_like(st.consec_rej))
 
-        vars_n, s_n, f_n, _ = trial(alpha)
+        # accepted iterate: the bare update arithmetic only — trial()'s
+        # eval_fcg would be wholly redundant here (eval_model below
+        # recomputes f, c, g at vars_n anyway; measured ~1.5 ms/batch per
+        # eval_fcg at the headline config, so this was a full extra
+        # model-residual pass per IPM iteration)
+        vars_n = _tmap(lambda v_, d_: v_ + alpha * d_, vars, dv)
+        s_n = _tmap(lambda sv, dsv: sv + alpha * dsv, s, ds)
         y_n = _tmap(lambda a, d_: a + alpha_d_eff * d_, y, dy)
         z_n = _tmap(lambda a, d_, m: jnp.where(m, a + alpha_d_eff * d_, 1.0),
                     z, dz, zmask)
