@@ -606,12 +606,16 @@ def main():
     if args.rti is not None:
         # fixed-trip RTI: K iterations for everyone, no while_loop; LS
         # probes fully vectorized (chunk = depth -> a single trip) unless
-        # the user asked for a specific chunk
+        # the user asked for a specific chunk.  Depth 6 (not the library's
+        # 10): the profiler showed the chunk-wide probe is ~60% of the
+        # trip cost, and depth 6 is the shallowest budget that keeps
+        # usable_frac >= 0.99 on the disturbance workload (TPU v5e sweep:
+        # 6 -> 143.2k solves/s usable 0.9966 PASS; 5 -> 152.4k usable
+        # 0.983 FAIL; deeper budgets only add probe bytes)
         if "line_search" not in f32:
             from sip_optimal_control_tpu.solver.settings import \
                 LineSearchSettings
-            f32["line_search"] = LineSearchSettings(
-                chunk=LineSearchSettings.max_steps)
+            f32["line_search"] = LineSearchSettings(max_steps=6, chunk=6)
         warm_settings = Settings(max_iterations=args.rti,
                                  fixed_iterations=True,
                                  mu_init=args.warm_mu, **f32)
