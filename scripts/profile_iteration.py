@@ -1,5 +1,14 @@
 """Per-component timing of one IPM iteration on the ambient device.
 
+CAVEAT (r3, COVERAGE.md "K-slope methodology"): this stage-isolated
+profile is useful for RELATIVE comparison only — it under-reports
+absolute in-program costs badly (XLA overlap/DCE hides most of an
+isolated stage's time; e.g. eval_fcg reads 0.04 ms here vs ~1.5 ms
+measured with chained in-dispatch repetitions).  For ground truth use
+the K-slope method (bench.py --rti K at two K values; the slope is the
+marginal per-iteration cost) and scripts/profile_trace.py (device-kernel
+trace of one dispatch).
+
 Breaks an interior-point iteration into its pipeline stages and times each
 as its own jitted dispatch over the full scenario batch (VERDICT r1 item 4):
 

@@ -471,3 +471,25 @@ def test_locally_infeasible_stalls_and_mpc_failsafe_contains_it():
     assert bool(jnp.all(jnp.isfinite(trace.states)))
     assert bool(jnp.all(trace.statuses != SIPStatus.SOLVED))
     np.testing.assert_allclose(np.asarray(trace.controls), 0.0, atol=0.0)
+
+
+def test_fixed_iterations_matches_while_loop_on_tree():
+    """RTI-mode parity on a scenario-TREE topology (the chain case is
+    covered above): the level-synchronous tree Riccati path must behave
+    identically under the static-trip scan."""
+    spec, dims, topo = _branching_spec(T_branch=4, dt=0.1, gains=[1.0, 0.6])
+    x0 = jnp.asarray([1.0, 0.0])
+
+    def run(fixed):
+        problem = build_problem(spec, dims, topo, initial_state=x0)
+        return solve(problem, Settings(max_iterations=30,
+                                       fixed_iterations=fixed))
+
+    rw = jax.jit(lambda: run(False))()
+    rf = jax.jit(lambda: run(True))()
+    assert int(rw.status) == SIPStatus.SOLVED
+    assert int(rw.status) == int(rf.status)
+    assert int(rw.iterations) == int(rf.iterations)
+    np.testing.assert_array_equal(np.asarray(rw.vars.u),
+                                  np.asarray(rf.vars.u))
+    assert float(rw.kkt_error) == float(rf.kkt_error)
