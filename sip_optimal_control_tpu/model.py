@@ -96,8 +96,7 @@ def box_bounds(dims: Dimensions, x_lower=None, x_upper=None, u_lower=None,
 def build_problem(spec: ModelSpec, dims: Dimensions, topology: Topology,
                   initial_state, lower: Optional[Primal] = None,
                   upper: Optional[Primal] = None,
-                  scale_dual: float = 1.0, scale_equality: float = 1.0,
-                  scale_bound: float = 1.0,
+                  scale_dual=1.0, scale_equality=1.0, scale_bound=1.0,
                   init_mode: str = "constant",
                   hessian_mode: str = "exact") -> OCProblem:
     """Assemble an OCProblem with autodiff derivative evaluation.
@@ -108,6 +107,12 @@ def build_problem(spec: ModelSpec, dims: Dimensions, topology: Topology,
     entries arrive as zeros; dead output rows are ignored), and every
     residual/Jacobian/Hessian row and column beyond a stage's declared
     dimension is masked out here before the solver sees it.
+
+    ``scale_dual`` / ``scale_equality`` / ``scale_bound`` are the
+    convergence-test residual scalings: scalars, or per-element pytrees
+    (Primal-shaped for dual/bound, YVec-shaped for equality) mirroring the
+    reference's ResidualScaling double arrays (reference: types.hpp:144-148,
+    wired at tests/variable_dimensions_test.cpp:421-427).
 
     ``hessian_mode``: "exact" differentiates the full stage Lagrangian
     (the reference's callback contract, types.hpp:48-126 — constraint and

@@ -139,11 +139,22 @@ class OCProblem:
     eval_fcg: Callable[[Primal], tuple]      # -> (f, c: YVec, g: ZVec)
     lower: Primal                            # -inf where unbounded
     upper: Primal                            # +inf where unbounded
-    # residual scalings multiply the convergence-test residuals
-    # (reference: sip::Input::ResidualScaling, types.hpp:148).
-    scale_dual: float = 1.0
-    scale_equality: float = 1.0
-    scale_bound: float = 1.0
+    # Residual scalings multiply the convergence-test residuals.  Each is a
+    # scalar float OR a per-element pytree, mirroring the reference's
+    # ResidualScaling, whose dual/equality/variable_bound members are
+    # per-element DOUBLE ARRAYS over the flat primal / equality layouts
+    # (reference: types.hpp:144-148; real vectors wired in at
+    # tests/variable_dimensions_test.cpp:421-427):
+    #   scale_dual:     float | Primal  — stationarity (dual) residual rows
+    #   scale_equality: float | YVec    — equality residual rows
+    #   scale_bound:    float | Primal  — variable-bound complementarity
+    #                    rows (a scalar additionally scales the slack s*z
+    #                    complementarity, preserving the scalar-API
+    #                    behavior; per-element bound scaling follows the
+    #                    reference's x_dim-sized variable_bound array)
+    scale_dual: object = 1.0
+    scale_equality: object = 1.0
+    scale_bound: object = 1.0
     # default primal initialization when solve() gets no warm start
     # (e.g. the constant-trajectory init built from initial_state)
     default_init: Optional["Primal"] = None
@@ -323,6 +334,12 @@ def solve(problem: OCProblem, settings: Settings,
     [mu/(kappa d), kappa mu/d], which keeps a carried multiplier at an
     active bound (the cold init mu/d there is off by orders of
     magnitude)."""
+    if settings.fixed_iterations and settings.max_iterations < 1:
+        # the degenerate 0-trip scan would skip the body entirely, where
+        # the while_loop path always executes one trip (ADVICE r3)
+        raise ValueError(
+            "fixed_iterations requires max_iterations >= 1 (a 0-length "
+            "scan would diverge from the while_loop semantics)")
     # Bake the matmul precision into every op traced below: TPU's default
     # bf16 matmul passes cap the reachable KKT error on badly-scaled
     # problems (see Settings.matmul_precision).
@@ -436,6 +453,16 @@ def _solve_impl(problem: OCProblem, settings: Settings,
                      ev.grad, _primal_of(ct), _primal_of(gt), zl, zu, pmask)
         r_ineq = _tmap(lambda g, sv, m: jnp.where(m, g + sv, 0.0), ev.g, s,
                        zmask)
+        # Per-element (or scalar) residual scalings (reference:
+        # ResidualScaling double arrays, types.hpp:144-148).
+        def scaled_inf(tree, scale):
+            if isinstance(scale, (int, float)):
+                return scale * _tinf(tree)
+            return _tinf(_tmap(lambda a, s_: a * s_, tree, scale))
+
+        sb = problem.scale_bound
+        sb_scalar = isinstance(sb, (int, float))
+
         # complementarity at barrier parameter value `m_mu`
         def comp(m_mu):
             cs = _tmap(lambda sv, zv, m: jnp.where(m, sv * zv - m_mu, 0.0),
@@ -444,15 +471,16 @@ def _solve_impl(problem: OCProblem, settings: Settings,
                        dist_l(vars), zl, has_lb)
             cu = _tmap(lambda d, u_, h: jnp.where(h, d * u_ - m_mu, 0.0),
                        dist_u(vars), zu, has_ub)
-            return jnp.maximum(_tinf(cs),
-                               jnp.maximum(_tinf(cl), _tinf(cu)))
+            cs_err = (sb * _tinf(cs)) if sb_scalar else _tinf(cs)
+            return jnp.maximum(cs_err, jnp.maximum(scaled_inf(cl, sb),
+                                                   scaled_inf(cu, sb)))
 
         def err(m_mu):
             return jnp.max(jnp.stack([
-                problem.scale_dual * _tinf(stat),
-                problem.scale_equality * _tinf(ev.c),
+                scaled_inf(stat, problem.scale_dual),
+                scaled_inf(ev.c, problem.scale_equality),
                 _tinf(r_ineq),
-                problem.scale_bound * comp(m_mu)]))
+                comp(m_mu)]))
 
         return stat, r_ineq, err
 

@@ -228,3 +228,71 @@ def test_converged_warm_start_exits_without_stepping():
     assert int(warm.iterations) == 0
     np.testing.assert_allclose(np.asarray(warm.vars.u),
                                np.asarray(cold.vars.u), atol=1e-12)
+
+
+def test_per_element_residual_scaling():
+    """Per-element residual-scaling vectors (reference: ResidualScaling
+    double arrays, types.hpp:144-148, wired with real per-element data at
+    variable_dimensions_test.cpp:421-427).
+
+    (a) Non-uniform positive vectors: the solve converges to the same
+    optimum (scaling only reweights the convergence test).
+    (b) The vectors demonstrably enter the test: zeroing the dual +
+    equality + bound scalings makes a bound-constrained problem (whose
+    unscaled rows are nonzero at the init) classify SOLVED immediately.
+    """
+    import dataclasses
+    from sip_optimal_control_tpu.solver.sip import YVec
+
+    dims = Dimensions.uniform(num_edges=1, state_dim=1, control_dim=1)
+    spec = ModelSpec(
+        dynamics=lambda x, u, th, i: x + u,
+        node_cost=lambda x, th, i: jnp.where(
+            i == 0, 0.5 * x[0] ** 2, 0.5 * (x[0] - 2.0) ** 2),
+        edge_cost=lambda x, u, th, i: 0.5 * u[0] ** 2,
+    )
+    sd = Primal(x=jnp.asarray([[0.5], [2.0]]), u=jnp.asarray([[3.0]]),
+                theta=jnp.ones((0,)))
+    se = YVec(dyn=jnp.asarray([[4.0], [0.25]]), nc=jnp.zeros((2, 1)),
+              ec=jnp.zeros((1, 1)))
+    problem = build_problem(spec, dims, Topology.chain(1),
+                            initial_state=jnp.asarray([1.0]),
+                            scale_dual=sd, scale_equality=se,
+                            scale_bound=sd)
+    result = jax.jit(lambda: solve(problem, Settings()))()
+    assert int(result.status) == SIPStatus.SOLVED, int(result.status)
+    np.testing.assert_allclose(float(result.vars.x[0, 0]), 1.0, atol=1e-7)
+    np.testing.assert_allclose(float(result.vars.u[0, 0]), 0.5, atol=1e-7)
+    np.testing.assert_allclose(float(result.vars.x[1, 0]), 1.5, atol=1e-7)
+
+    # (b) zero vectors silence the scaled residual rows; only the (unscaled)
+    # g+s row remains, which a bounds-only problem satisfies by slack init
+    lower, upper = box_bounds(dims, u_lower=-0.1, u_upper=0.1)
+    zero_sd = jax.tree.map(jnp.zeros_like, sd)
+    zero_se = jax.tree.map(jnp.zeros_like, se)
+    silenced = build_problem(spec, dims, Topology.chain(1),
+                             initial_state=jnp.asarray([1.0]),
+                             lower=lower, upper=upper,
+                             scale_dual=zero_sd, scale_equality=zero_se,
+                             scale_bound=zero_sd)
+    res0 = jax.jit(lambda: solve(silenced, Settings()))()
+    assert int(res0.status) == SIPStatus.SOLVED
+    assert int(res0.iterations) == 0
+    # the unscaled problem does NOT classify the same init as solved
+    unscaled = build_problem(spec, dims, Topology.chain(1),
+                             initial_state=jnp.asarray([1.0]),
+                             lower=lower, upper=upper)
+    res1 = jax.jit(lambda: solve(unscaled, Settings()))()
+    assert int(res1.iterations) > 0
+
+
+def test_fixed_iterations_requires_positive_budget():
+    """fixed_iterations with max_iterations=0 is rejected at trace time
+    (a 0-length scan would skip the body the while_loop always runs)."""
+    import pytest
+    dims = Dimensions.uniform(num_edges=1, state_dim=1, control_dim=1)
+    spec = ModelSpec(dynamics=lambda x, u, th, i: x + u)
+    problem = build_problem(spec, dims, Topology.chain(1),
+                            initial_state=jnp.asarray([1.0]))
+    with pytest.raises(ValueError, match="max_iterations"):
+        solve(problem, Settings(fixed_iterations=True, max_iterations=0))

@@ -392,8 +392,9 @@ def test_fixed_iterations_matches_while_loop():
         rf = jax.jit(lambda: solve_from(x0, budget, True))()
         assert int(rw.status) == int(rf.status)
         assert int(rw.iterations) == int(rf.iterations)
-        # f is frozen separately in RTI mode (the ModelEval is excluded
-        # from the freeze select); it must still equal the while_loop's
+        # the whole _IPMState (including the carried ModelEval, hence f)
+        # is frozen by the RTI select — excluding ev was a measured
+        # negative result (see sip.py); f must equal the while_loop's
         assert float(rw.f) == float(rf.f)
         np.testing.assert_array_equal(np.asarray(rw.vars.u),
                                       np.asarray(rf.vars.u))
