@@ -32,9 +32,13 @@ class MPCTrace(NamedTuple):
     kkt_errors: jax.Array   # [steps]
 
 
-def _shift_warm_start(vars: Primal, y: YVec):
+def _shift_warm_start(vars: Primal, y: YVec, topology=None):
     """Shift the predicted trajectory one stage forward — the classic MPC
-    warm start (duplicate the terminal stage)."""
+    warm start (duplicate the terminal stage).  With a non-chain
+    `topology`, dispatches to the tree generalization."""
+    if topology is not None and not topology.is_chain:
+        return _shift_warm_start_tree(vars, y, topology)
+
     def shift_nodes(a):
         return jnp.concatenate([a[1:], a[-1:]], axis=0)
 
@@ -42,6 +46,48 @@ def _shift_warm_start(vars: Primal, y: YVec):
                    theta=vars.theta),
             YVec(dyn=shift_nodes(y.dyn), nc=shift_nodes(y.nc),
                  ec=shift_nodes(y.ec)))
+
+
+def _tree_successor_maps(topology):
+    """Static first-child successor maps for the tree shift warm start.
+
+    node_succ[i] = first child of node i (itself for leaves);
+    edge_succ[e] = first outgoing edge of child(e) (e itself when child(e)
+    is a leaf).  "First" = lowest edge index, which for the scenario-tree
+    constructions used here is the lowest-numbered branch — so the shared
+    prefix of a receding-horizon robust MPC tree shifts into branch 0's
+    trajectory, and every branch shifts along itself (branches are chains
+    past the branch point).  Reference context: receding-horizon warm
+    starting via persisted vars (tests/variable_dimensions_test.cpp:437-446)
+    generalized to the tree topologies of lqr.hpp:5-22."""
+    import numpy as np
+    E = topology.num_edges
+    N = E + 1
+    parents = np.asarray(topology.edge_parents)
+    children = np.asarray(topology.edge_children)
+    first_edge = np.full(N, -1, dtype=np.int64)
+    for e in range(E - 1, -1, -1):      # lowest edge index wins
+        first_edge[parents[e]] = e
+    node_succ = np.arange(N)
+    has_child = first_edge >= 0
+    node_succ[has_child] = children[first_edge[has_child]]
+    edge_succ = np.arange(E)
+    child_first = first_edge[children]
+    edge_succ[child_first >= 0] = child_first[child_first >= 0]
+    return node_succ, edge_succ
+
+
+def _shift_warm_start_tree(vars: Primal, y: YVec, topology):
+    """Tree shift warm start: every node/edge takes its first-child
+    successor's value (leaves repeat) — on a chain this reduces exactly to
+    the one-stage shift.  The shared prefix of a scenario tree is
+    well-defined under the receding horizon (those stages are common to
+    all futures); branch stages shift along their own branch."""
+    node_succ, edge_succ = _tree_successor_maps(topology)
+    return (Primal(x=vars.x[node_succ], u=vars.u[edge_succ],
+                   theta=vars.theta),
+            YVec(dyn=y.dyn[node_succ], nc=y.nc[node_succ],
+                 ec=y.ec[edge_succ]))
 
 
 def run_mpc(spec: ModelSpec, dims: Dimensions, topology: Topology,
@@ -94,7 +140,7 @@ def run_mpc(spec: ModelSpec, dims: Dimensions, topology: Topology,
         else:
             usable = jnp.asarray(True)
         x_next = plant(x, u0)
-        next_vars, next_y = _shift_warm_start(result.vars, result.y)
+        next_vars, next_y = _shift_warm_start(result.vars, result.y, topology)
         # unusable -> have_warm=False selects default_init next step; the
         # dual warm start must be scrubbed too (it is passed regardless)
         next_y = jax.tree.map(
@@ -167,7 +213,7 @@ def run_mpc_timed(spec: ModelSpec, dims: Dimensions, topology: Topology,
         else:
             usable = jnp.asarray(True)
         x_next = plant(x, u0)
-        next_vars, next_y = _shift_warm_start(result.vars, result.y)
+        next_vars, next_y = _shift_warm_start(result.vars, result.y, topology)
         next_y = jax.tree.map(
             lambda a: jnp.where(usable, a, jnp.zeros_like(a)), next_y)
         return (x_next, next_vars, next_y, usable, u0,
