@@ -40,6 +40,9 @@ def main():
     ap.add_argument("--ls-steps", type=int, default=6)
     ap.add_argument("--ls-chunk", type=int, default=6)
     ap.add_argument("--steps-per-call", type=int, default=25)
+    ap.add_argument("--batch-axis", default="lead",
+                    choices=["lead", "minor"])
+    ap.add_argument("--fused-ls", type=int, default=0)
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--outdir", default="/tmp/soc_trace")
     args = ap.parse_args()
@@ -62,7 +65,8 @@ def main():
         tol=1e-3, mu_min=1e-5, reg_floor=1e-5, prox_reg=1e-5,
         riccati_backend="pallas",
         line_search=LineSearchSettings(max_steps=args.ls_steps,
-                                       chunk=args.ls_chunk))
+                                       chunk=args.ls_chunk,
+                                       fused_probe=bool(args.fused_ls)))
     rng = np.random.default_rng(0)
     n = dims.max_state_dim
     x0s = jnp.asarray(np.tile(np.asarray(x0, np.float32), (B, 1))
@@ -77,7 +81,7 @@ def main():
     step = build_mpc_scan(spec, dims, topo, lower, upper, settings,
                           "gauss_newton",
                           steps_per_call=args.steps_per_call,
-                          noise=0.05, batch=B)
+                          noise=0.05, batch=B, batch_axis=args.batch_axis)
     st = jax.block_until_ready(step(x0s, wv, wy))[:3]   # compile + settle
     st = jax.block_until_ready(step(*st))[:3]
     with jax.profiler.trace(args.outdir):

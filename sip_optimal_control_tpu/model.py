@@ -326,8 +326,31 @@ def build_problem(spec: ModelSpec, dims: Dimensions, topology: Topology,
     default_init = Primal(x=x_init, u=jnp.zeros((E, m)),
                           theta=jnp.zeros((p,)))
 
+    # Fused-line-search eligibility (ops/pallas_ls.py scope): chain,
+    # uniform dims, no theta, no constraint functions, and box bounds
+    # that are constant across stages (so the kernel can bake them as
+    # trace-time scalars).  Traced (non-concrete) bounds -> ineligible.
+    fused_ls = None
+    if (topology.is_chain and uniform and p == 0
+            and spec.node_eq is None and spec.node_ineq is None
+            and spec.edge_eq is None and spec.edge_ineq is None):
+        try:
+            lo_u, up_u = np.asarray(lower.u), np.asarray(upper.u)
+            lo_x, up_x = np.asarray(lower.x), np.asarray(upper.x)
+        except Exception:
+            lo_u = None
+        if lo_u is not None and all(
+                np.all(a == a[:1]) for a in (lo_u, up_u, lo_x, up_x)):
+            from .ops.pallas_ls import build_fused_spec
+            fspec = build_fused_spec(spec.dynamics, node_cost, edge_cost,
+                                     E, n, m)
+            if fspec is not None:
+                fused_ls = (fspec,
+                            (lo_u[0], up_u[0], lo_x[0], up_x[0]),
+                            initial_state)
+
     return OCProblem(dims=dims, sched=sched, masks=masks,
                      eval_model=eval_model, eval_fcg=eval_fcg,
                      lower=lower, upper=upper, scale_dual=scale_dual,
                      scale_equality=scale_equality, scale_bound=scale_bound,
-                     default_init=default_init)
+                     default_init=default_init, fused_ls=fused_ls)

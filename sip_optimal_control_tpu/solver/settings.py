@@ -67,6 +67,17 @@ class LineSearchSettings:
     # fixed-trip RTI mode chunk = max_steps makes the whole LS a single
     # vectorized trip (what bench.py --rti uses).
     chunk: int = 1
+    # Fused Pallas line-search probe (ops/pallas_ls.py): evaluates every
+    # chunk candidate from VMEM-resident trial state with the scenario
+    # batch packed onto the vector lanes, replacing the lane-padded
+    # [batch, chunk, T, m] XLA probe fusions (~45% of every IPM trip on
+    # the r4 device trace).  Engages only when the problem is eligible
+    # (chain topology, uniform dims, float32, theta_dim 0, box bounds
+    # only — build_problem records eligibility in OCProblem.fused_ls);
+    # everything else silently uses the standard probe.  Off by default
+    # (results match the standard probe to f32 roundoff, not bitwise:
+    # accumulation order differs).
+    fused_probe: bool = False
     eta: float = 1e-6          # Armijo slope fraction
     nu_min: float = 1.0        # merit penalty floor
     nu_rho: float = 0.1        # penalty margin: nu >= D/((1-rho) theta)

@@ -158,6 +158,11 @@ class OCProblem:
     # default primal initialization when solve() gets no warm start
     # (e.g. the constant-trajectory init built from initial_state)
     default_init: Optional["Primal"] = None
+    # Fused-line-search eligibility payload, set by build_problem when the
+    # problem fits ops/pallas_ls.py's scope: a tuple
+    # (FusedLSSpec, bounds, initial_state).  None = always use the
+    # standard probe.
+    fused_ls: Optional[tuple] = None
 
 
 class SolveResult(NamedTuple):
@@ -444,6 +449,17 @@ def _solve_impl(problem: OCProblem, settings: Settings,
         filt_th=jnp.full((settings.max_iterations,), jnp.inf, dtype),
         filt_ph=jnp.full((settings.max_iterations,), jnp.inf, dtype))
 
+    # Fused Pallas line-search probe (ops/pallas_ls.py): engaged when the
+    # problem is eligible (build_problem sets fused_ls) and we are in the
+    # f32 chain regime the kernel supports.
+    fused_probe_fn = None
+    fused_x0 = None
+    if (ls.fused_probe and problem.fused_ls is not None
+            and sched.topology.is_chain and dtype == jnp.float32):
+        from ..ops.pallas_ls import make_fused_probe
+        _fspec, _fbounds, fused_x0 = problem.fused_ls
+        fused_probe_fn = make_fused_probe(_fspec, _fbounds)
+
     # ----- residuals and errors -------------------------------------------
     def kkt_residuals(vars, s, y, z, zl, zu, ev: ModelEval):
         duals = _kkt_from_duals(template, y, z)
@@ -604,9 +620,16 @@ def _solve_impl(problem: OCProblem, settings: Settings,
                     kkt_factor(ev.stage, regs_n, masks, sched, rbackend),
                     k + 1)
 
-        regs_f, fact, _ = lax.while_loop(
-            retry_cond, retry_body,
-            (regs, fact0, jnp.int32(0) + 0 * fact0.status))
+        if settings.max_factor_retries > 0:
+            regs_f, fact, _ = lax.while_loop(
+                retry_cond, retry_body,
+                (regs, fact0, jnp.int32(0) + 0 * fact0.status))
+        else:
+            # retries disabled: skip the while wrapper entirely (its carry
+            # boundary costs a copy of the whole factorization every
+            # iteration even when no retry ever fires); a failed factor
+            # becomes a rejected step + reg boost, retried next iteration
+            regs_f, fact = regs, fact0
         factor_failed = fact.status != 0
 
         sol = kkt_solve(fact, ev.stage, b, sched, rbackend)
@@ -744,14 +767,39 @@ def _solve_impl(problem: OCProblem, settings: Settings,
                 armijo = phi_t <= phi_bar0 + ls.eta * alpha * d_phi
                 return not_dom & (progress | armijo)
 
+            if fused_probe_fn is not None:
+                def filter_probe(alphas):
+                    fv, thv, lbv = fused_probe_fn(
+                        vars.x, dv.x, vars.u, dv.u, fused_x0, alphas)
+                    phi_t = fv - mu * lbv
+                    not_dom = jnp.all(
+                        (thv[:, None]
+                         <= (1.0 - ls.gamma_theta) * st.filt_th[None, :])
+                        | (phi_t[:, None]
+                           <= st.filt_ph[None, :]
+                           - ls.gamma_phi * st.filt_th[None, :]), axis=-1)
+                    progress = (
+                        (thv <= (1.0 - ls.gamma_theta) * theta0)
+                        | (phi_t <= phi_bar0 - ls.gamma_phi * theta0))
+                    armijo = phi_t <= phi_bar0 + ls.eta * alphas * d_phi
+                    return not_dom & (progress | armijo)
+            else:
+                filter_probe = jax.vmap(filter_trial)
+
             def fls_body(carry):
                 alpha, k, _ = carry
-                alpha_n, ok = _chunked(alpha, k, jax.vmap(filter_trial))
+                alpha_n, ok = _chunked(alpha, k, filter_probe)
                 return (alpha_n, k + chunk, ok)
 
-            alpha, _, accepted = lax.while_loop(
-                ls_cond, fls_body,
-                (alpha_p + 0.0 * phi0, jnp.int32(0), phi0 != phi0))
+            ls_init = (alpha_p + 0.0 * phi0, jnp.int32(0), phi0 != phi0)
+            if chunk >= ls.max_steps:
+                # one chunk covers the whole budget: the while_loop would
+                # run exactly one trip — call the body directly and skip
+                # the loop wrapper's carry boundary
+                alpha, _, accepted = fls_body(ls_init)
+            else:
+                alpha, _, accepted = lax.while_loop(ls_cond, fls_body,
+                                                    ls_init)
             # augment the filter with the current pair (theta-type step) —
             # only when the step was actually taken
             filt_th_n = jnp.where(
@@ -763,18 +811,30 @@ def _solve_impl(problem: OCProblem, settings: Settings,
                 st.filt_ph.at[st.it].set(phi_bar0 - ls.gamma_phi * theta0),
                 st.filt_ph)
         else:
-            def armijo_ok(alphas):
-                phis = jax.vmap(lambda a: trial(a)[3])(alphas)
-                return phis <= phi0 + ls.eta * alphas * slope
+            if fused_probe_fn is not None:
+                def armijo_ok(alphas):
+                    fv, thv, lbv = fused_probe_fn(
+                        vars.x, dv.x, vars.u, dv.u, fused_x0, alphas)
+                    phis = fv - mu * lbv + nu * thv
+                    return phis <= phi0 + ls.eta * alphas * slope
+            else:
+                def armijo_ok(alphas):
+                    phis = jax.vmap(lambda a: trial(a)[3])(alphas)
+                    return phis <= phi0 + ls.eta * alphas * slope
 
             def ls_body(carry):
                 alpha, k, _ = carry
                 alpha_n, ok = _chunked(alpha, k, armijo_ok)
                 return (alpha_n, k + chunk, ok)
 
-            alpha, _, accepted = lax.while_loop(
-                ls_cond, ls_body,
-                (alpha_p + 0.0 * phi0, jnp.int32(0), phi0 != phi0))
+            ls_init = (alpha_p + 0.0 * phi0, jnp.int32(0), phi0 != phi0)
+            if chunk >= ls.max_steps:
+                # single-trip budget: skip the while wrapper (see filter
+                # branch)
+                alpha, _, accepted = ls_body(ls_init)
+            else:
+                alpha, _, accepted = lax.while_loop(ls_cond, ls_body,
+                                                    ls_init)
             filt_th_n, filt_ph_n = st.filt_th, st.filt_ph
 
         # Min-alpha safeguard: an exhausted line search REJECTS the step
