@@ -568,7 +568,7 @@ def main():
                         "delivered inside the driver's measurement window "
                         "even when the TPU tunnel stalls session acquire "
                         "(VERDICT r2 item 1)")
-    parser.add_argument("--rti", type=int, default=7, metavar="K",
+    parser.add_argument("--rti", type=int, default=None, metavar="K",
                         help="real-time-iteration mode (DEFAULT, K=7): "
                         "warm re-solves run EXACTLY K fixed IPM "
                         "iterations (lax.scan, no while_loop) — removes "
@@ -589,6 +589,11 @@ def main():
                         "default 3); 0 skips the retry while_loop wrapper "
                         "entirely — failures become rejected steps with a "
                         "reg boost, retried next IPM iteration")
+    parser.add_argument("--filter-ls", action="store_true",
+                        help="use the Waechter-Biegler filter line search "
+                        "(the reference's canonical settings enable it, "
+                        "tests/variable_dimensions_test.cpp:18-25) instead "
+                        "of the Armijo merit search")
     parser.add_argument("--fused-ls", type=int, default=1,
                         help="1 (default): fused Pallas line-search probe "
                         "(ops/pallas_ls.py) when the model is eligible "
@@ -646,6 +651,17 @@ def main():
 
     spec, dims, topo, lower, upper, x0 = get_model(args.model, args.horizon)
     mark("t_model")
+    if args.rti is None:
+        # model-default RTI budgets: cartpole's disturbance regime needs
+        # K=7 (see --rti help); robust_tree's scenarios converge in ~2
+        # iterations (mean_iterations 2.04), and K=3 passes every quality
+        # gate at 3.3x the cold-solve throughput (130.4k vs 39.4k, TPU
+        # v5e) — the tree warm start carries the fleet
+        args.rti = 3 if args.model == "robust_tree" else 7
+    if args.rti is not None and args.rti <= 0:
+        args.rti = None         # --rti 0: classic while-loop mode
+    if args.mode != "mpc":
+        args.rti = None         # RTI is a warm-re-solve (mpc-mode) concept
     f32 = dict(tol=args.tol, mu_min=1e-5, reg_floor=1e-5, prox_reg=1e-5,
                riccati_backend=args.backend)
     if args.factor_retries is None and args.rti is not None \
@@ -660,9 +676,11 @@ def main():
     if args.precision is not None:
         f32["matmul_precision"] = args.precision
     if (args.ls_steps is not None or args.backtrack is not None
-            or args.ls_chunk is not None or args.fused_ls):
+            or args.ls_chunk is not None or args.fused_ls
+            or args.filter_ls):
         from sip_optimal_control_tpu.solver.settings import LineSearchSettings
-        ls_kw = {"fused_probe": bool(args.fused_ls)}
+        ls_kw = {"fused_probe": bool(args.fused_ls),
+                 "use_filter_line_search": bool(args.filter_ls)}
         if args.ls_steps is not None:
             ls_kw["max_steps"] = args.ls_steps
         if args.backtrack is not None:
@@ -670,10 +688,6 @@ def main():
         if args.ls_chunk is not None:
             ls_kw["chunk"] = args.ls_chunk
         f32["line_search"] = LineSearchSettings(**ls_kw)
-    if args.rti is not None and args.rti <= 0:
-        args.rti = None         # --rti 0: classic while-loop mode
-    if args.mode != "mpc":
-        args.rti = None         # RTI is a warm-re-solve (mpc-mode) concept
     if args.warm_mu is None:
         args.warm_mu = 3e-3 if args.rti is not None else 1e-4
     cold_settings = Settings(max_iterations=args.cold_iters, **f32)

@@ -180,6 +180,89 @@ def _factor_kernel(n, m, T,
             v_scratch[i * n + j] = Vp[i][j]
 
 
+# At n >= _GRAM_N the explicit-W formulation spills: it keeps F, F_inv, W
+# and WA live at once (~1200 [8,128] tiles at n=16, far beyond the vector
+# register file), and forming F_inv + W + WA costs ~20k tile-FMAs/stage.
+# The GRAM formulation below eliminates F_inv/W/WA entirely:
+#   with Ah = delta^{-1/2} A, Bh = delta^{-1/2} B, Z = Lf^{-1} [Ah Bh]:
+#   B^T W B = Bh^T Bh - Zb^T Zb,  B^T W A = Bh^T Ah - Zb^T Za,
+#   A^T W A = Ah^T Ah - Za^T Za
+# (W = delta^{-1/2}(I - F^{-1})delta^{-1/2}, F^{-1} = Lf^{-T} Lf^{-1}) —
+# ~40% fewer flops, half the live set, and symmetric outputs computed on
+# the upper triangle only.  W itself (needed by the solve kernels and the
+# LQRFactorization contract) is recomputed OUTSIDE the kernel in one
+# batched XLA pass over all stages at once (parallel, not sequential).
+_GRAM_N = 8
+
+
+def _factor_kernel_gram(n, m, T,
+                        q_par_ref, q_child_ref, delta_child_ref,
+                        a_ref, b_ref, m_ref, r_ref,
+                        v_out_ref, k_out_ref, g_out_ref, v_scratch):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        v_scratch[:] = q_child_ref[0, 0]
+
+    Vc = [[v_scratch[i * n + j] for j in range(n)] for i in range(n)]
+    delta = [delta_child_ref[0, 0, i] for i in range(n)]
+    safe = [jnp.where(d > 0, d, 1.0) for d in delta]
+    sd = [jnp.sqrt(s) for s in safe]
+    sdi = [1.0 / s for s in sd]
+    one = jnp.ones_like(sd[0])
+    zero = jnp.zeros_like(sd[0])
+
+    F = [[sd[i] * Vc[i][j] * sd[j] + (one if i == j else zero)
+          for j in range(n)] for i in range(n)]
+    Lf = _chol(F)
+
+    A = _mat(a_ref, n, n)
+    B = _mat(b_ref, n, m)
+    M = _mat(m_ref, n, m)
+    R = _mat(r_ref, m, m)
+    Ah = [[sdi[i] * A[i][j] for j in range(n)] for i in range(n)]
+    Bh = [[sdi[i] * B[i][j] for j in range(m)] for i in range(n)]
+    Za = _tri_solve_mat(Lf, Ah, False)
+    Zb = _tri_solve_mat(Lf, Bh, False)
+
+    G = [[None] * m for _ in range(m)]
+    for i in range(m):
+        for j in range(i, m):
+            s = R[i][j]
+            for k in range(n):
+                s = s + Bh[k][i] * Bh[k][j] - Zb[k][i] * Zb[k][j]
+            G[i][j] = s
+            G[j][i] = s
+    Lg = _chol(G)
+
+    H = [[M[j][i] + functools.reduce(
+        lambda p, q: p + q,
+        [Bh[k][i] * Ah[k][j] - Zb[k][i] * Za[k][j] for k in range(n)])
+        for j in range(n)] for i in range(m)]
+    Kneg = _cho_solve_mat(Lg, H)
+    K = [[-Kneg[i][j] for j in range(n)] for i in range(m)]
+
+    Qp = _mat(q_par_ref, n, n)
+    Vp = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i, n):
+            s = Qp[i][j]
+            for k in range(n):
+                s = s + Ah[k][i] * Ah[k][j] - Za[k][i] * Za[k][j]
+            for k in range(m):
+                s = s + K[k][i] * H[k][j]
+            Vp[i][j] = s
+            Vp[j][i] = s
+
+    _store(v_out_ref, Vp)
+    _store(k_out_ref, K)
+    _store(g_out_ref, Lg)
+    for i in range(n):
+        for j in range(n):
+            v_scratch[i * n + j] = Vp[i][j]
+
+
 def _to_tiles(x, rows):
     """[Batch, S, rows...] -> [Bb, S, rows, 8, 128] with batch innermost."""
     Bt = x.shape[0]
@@ -253,34 +336,72 @@ def _factor_chain_pallas_batched(data, interpret=False):
                             lambda b, t: (b, T - t, 0, 0, 0),
                             memory_space=pltpu.VMEM)
 
-    out_shapes = [
-        jax.ShapeDtypeStruct((bb, T, n * n, _SUB, _LANE), dtype),   # V_par
-        jax.ShapeDtypeStruct((bb, T, n * n, _SUB, _LANE), dtype),   # W
-        jax.ShapeDtypeStruct((bb, T, m * n, _SUB, _LANE), dtype),   # K
-        jax.ShapeDtypeStruct((bb, T, m * m, _SUB, _LANE), dtype),   # G_chol
-    ]
-    kernel = functools.partial(_factor_kernel, n, m, T)
-    v_par, w_t, k_t, g_t = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[node_parent_spec(n * n), node_child_spec(n * n),
-                  node_child_spec(n), edge_spec(n * n), edge_spec(n * m),
-                  edge_spec(n * m), edge_spec(m * m)],
-        out_specs=[edge_spec(n * n), edge_spec(n * n), edge_spec(m * n),
-                   edge_spec(m * m)],
-        out_shape=out_shapes,
-        scratch_shapes=[pltpu.VMEM((n * n, _SUB, _LANE), dtype)],
-        interpret=interpret,
-    )(Qt, Qt, dt, At, Btl, Mt, Rt)
+    use_gram = n >= _GRAM_N
+    if use_gram:
+        out_shapes = [
+            jax.ShapeDtypeStruct((bb, T, n * n, _SUB, _LANE), dtype),  # Vp
+            jax.ShapeDtypeStruct((bb, T, m * n, _SUB, _LANE), dtype),  # K
+            jax.ShapeDtypeStruct((bb, T, m * m, _SUB, _LANE), dtype),  # G
+        ]
+        kernel = functools.partial(_factor_kernel_gram, n, m, T)
+        v_par, k_t, g_t = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[node_parent_spec(n * n), node_child_spec(n * n),
+                      node_child_spec(n), edge_spec(n * n),
+                      edge_spec(n * m), edge_spec(n * m),
+                      edge_spec(m * m)],
+            out_specs=[edge_spec(n * n), edge_spec(m * n),
+                       edge_spec(m * m)],
+            out_shape=out_shapes,
+            scratch_shapes=[pltpu.VMEM((n * n, _SUB, _LANE), dtype)],
+            interpret=interpret,
+        )(Qt, Qt, dt, At, Btl, Mt, Rt)
+        w_t = None
+    else:
+        out_shapes = [
+            jax.ShapeDtypeStruct((bb, T, n * n, _SUB, _LANE), dtype),  # Vp
+            jax.ShapeDtypeStruct((bb, T, n * n, _SUB, _LANE), dtype),  # W
+            jax.ShapeDtypeStruct((bb, T, m * n, _SUB, _LANE), dtype),  # K
+            jax.ShapeDtypeStruct((bb, T, m * m, _SUB, _LANE), dtype),  # G
+        ]
+        kernel = functools.partial(_factor_kernel, n, m, T)
+        v_par, w_t, k_t, g_t = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[node_parent_spec(n * n), node_child_spec(n * n),
+                      node_child_spec(n), edge_spec(n * n),
+                      edge_spec(n * m), edge_spec(n * m),
+                      edge_spec(m * m)],
+            out_specs=[edge_spec(n * n), edge_spec(n * n),
+                       edge_spec(m * n), edge_spec(m * m)],
+            out_shape=out_shapes,
+            scratch_shapes=[pltpu.VMEM((n * n, _SUB, _LANE), dtype)],
+            interpret=interpret,
+        )(Qt, Qt, dt, At, Btl, Mt, Rt)
 
     V = jnp.concatenate(
         [_from_tiles(v_par).reshape(Bp, T, n, n), data.Q[:, -1:]], axis=1)
-    W = _from_tiles(w_t).reshape(Bp, T, n, n)
     K = _from_tiles(k_t).reshape(Bp, T, m, n)
     G_chol = _from_tiles(g_t).reshape(Bp, T, m, m)
 
     # F products + statuses recomputed in one batched XLA pass.
     F_chol, sd, sdi, f_status = _factor_F(data.delta, V)
+
+    if use_gram:
+        # W for all stages in one batched (parallel-over-stages) pass:
+        # W = delta^{-1/2} (I - F^{-1}) delta^{-1/2}; edge e's W is its
+        # child node's (node e+1 on a chain)
+        eye = jnp.eye(n, dtype=dtype)
+        eyeb = jnp.broadcast_to(eye, F_chol.shape)
+        y_ = jax.lax.linalg.triangular_solve(
+            F_chol, eyeb, left_side=True, lower=True)
+        f_inv = jax.lax.linalg.triangular_solve(
+            F_chol, y_, left_side=True, lower=True, transpose_a=True)
+        W_nodes = sdi[..., :, None] * (eyeb - f_inv) * sdi[..., None, :]
+        W = W_nodes[:, 1:]
+    else:
+        W = _from_tiles(w_t).reshape(Bp, T, n, n)
     g_diag = jnp.diagonal(G_chol, axis1=-2, axis2=-1)
     g_ok = jnp.all(jnp.isfinite(g_diag) & (g_diag > 0), axis=(-2, -1))
     nan_fail = jnp.any(~jnp.isfinite(V), axis=(1, 2, 3))
@@ -365,10 +486,16 @@ def _cho_solve_vec(l, b):
 
 def _solve_bwd_kernel(n, m, T,
                       q_par_ref, q_child_ref, r_ref, c_child_ref,
-                      delta_child_ref, w_ref, g_ref, k_gain_ref,
+                      delta_child_ref, fchol_child_ref, g_ref, k_gain_ref,
                       a_ref, b_ref,
                       k_out_ref, v_out_ref, v_scratch):
-    """Backward vector pass per edge (reference: lqr.cpp:746-795), carry v."""
+    """Backward vector pass per edge (reference: lqr.cpp:746-795), carry v.
+
+    Uses the child's F Cholesky instead of the explicit W matrix:
+    W f = delta^{-1/2}(fh - F^{-1} fh), fh = delta^{-1/2} f — two vector
+    triangular solves (n^2 flops, same as the W matvec), which lets the
+    large-n Gram factor path never materialize W at all (the external
+    batched W pass is then dead-code-eliminated inside solver programs)."""
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -378,15 +505,19 @@ def _solve_bwd_kernel(n, m, T,
     v_c = [v_scratch[i] for i in range(n)]
     c_c = _vec(c_child_ref, n)
     delta = _vec(delta_child_ref, n)
-    W = _mat(w_ref, n, n)
+    Lf = _mat(fchol_child_ref, n, n)
     Lg = _mat(g_ref, m, m)
     Kg = _mat(k_gain_ref, m, n)
     A = _mat(a_ref, n, n)
     B = _mat(b_ref, n, m)
     r = _vec(r_ref, m)
 
+    safe = [jnp.where(d > 0, d, 1.0) for d in delta]
+    sdi = [1.0 / jnp.sqrt(s) for s in safe]
     f = [delta[i] * v_c[i] - c_c[i] for i in range(n)]
-    Wf = _matvec(W, f)
+    fh = [sdi[i] * f[i] for i in range(n)]
+    finv_fh = _cho_solve_vec(Lf, fh)
+    Wf = [sdi[i] * (fh[i] - finv_fh[i]) for i in range(n)]
     g = [v_c[i] - Wf[i] for i in range(n)]
     h = [r[i] + functools.reduce(lambda p, q: p + q,
                                  [B[k][i] * g[k] for k in range(n)])
@@ -499,7 +630,7 @@ def _solve_chain_pallas_batched(data, fact, interpret=False):
     rt = _to_tiles(data.r, m)
     ct = _to_tiles(data.c, n)
     dt = _to_tiles(data.delta, n)
-    Wt = _to_tiles(fact.W, n * n)
+    Ft = _to_tiles(fact.F_chol, n * n)      # node-indexed [T+1]
     Gt = _to_tiles(fact.G_chol, m * m)
     Kt = _to_tiles(fact.K, m * n)
     At = _to_tiles(data.A, n * n)
@@ -509,14 +640,14 @@ def _solve_chain_pallas_batched(data, fact, interpret=False):
         functools.partial(_solve_bwd_kernel, n, m, T),
         grid=grid,
         in_specs=[edge_bwd(n), child_bwd(n), edge_bwd(m), child_bwd(n),
-                  child_bwd(n), edge_bwd(n * n), edge_bwd(m * m),
+                  child_bwd(n), child_bwd(n * n), edge_bwd(m * m),
                   edge_bwd(m * n), edge_bwd(n * n), edge_bwd(n * m)],
         out_specs=[edge_bwd(m), edge_bwd(n)],
         out_shape=[jax.ShapeDtypeStruct((bb, T, m, _SUB, _LANE), dtype),
                    jax.ShapeDtypeStruct((bb, T, n, _SUB, _LANE), dtype)],
         scratch_shapes=[pltpu.VMEM((n, _SUB, _LANE), dtype)],
         interpret=interpret,
-    )(qt, qt, rt, ct, dt, Wt, Gt, Kt, At, Btl)
+    )(qt, qt, rt, ct, dt, Ft, Gt, Kt, At, Btl)
 
     v = jnp.concatenate([_from_tiles(v_par), data.q[:, -1:]], axis=1)
     k_vec = _from_tiles(k_t)
@@ -531,7 +662,6 @@ def _solve_chain_pallas_batched(data, fact, interpret=False):
     kt2 = _to_tiles(k_vec, m)
     vt = _to_tiles(v, n)
     Vmt = _to_tiles(fact.V, n * n)
-    Ft = _to_tiles(fact.F_chol, n * n)
 
     root_spec = spec(n, lambda b, t: (b, 0, 0, 0, 0))
     u_t, x_t, y_t = pl.pallas_call(

@@ -109,3 +109,33 @@ def test_pallas_unbatched_and_f64_fall_back():
     resid = jax.vmap(lambda d, s: lqr_residual_norm(d, s, sched))(data64,
                                                                   sols)
     assert float(jnp.max(resid)) < 1e-10
+
+
+def test_pallas_gram_kernel_large_n_matches_scan():
+    """n >= _GRAM_N dispatches the Gram-form factor kernel (no explicit
+    F_inv/W/WA in-kernel; W recomputed in one batched pass outside) — it
+    must reproduce the scan backend's products and solutions at the
+    reference grid's top end (n=16, m=4)."""
+    from sip_optimal_control_tpu.ops.pallas_riccati import _GRAM_N
+    rng = np.random.default_rng(5)
+    T, n, m, B = 6, 16, 4, 3
+    assert n >= _GRAM_N
+    sched = compile_topology(Topology.chain(T))
+    data = random_chain_f32(T, n, m, rng, B)
+
+    f_scan = jax.vmap(lambda d: lqr_factor(d, sched))(data)
+    f_pal = jax.jit(jax.vmap(
+        lambda d: lqr_factor(d, sched, backend="pallas")))(data)
+    assert np.all(np.asarray(f_pal.status) == FactorStatus.SUCCESS)
+    for name in ("V", "W", "K", "G_chol", "F_chol"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(f_pal, name)),
+            np.asarray(getattr(f_scan, name)), rtol=5e-4, atol=5e-4,
+            err_msg=name)
+
+    sols, stats = jax.jit(jax.vmap(
+        lambda d: lqr_factor_solve(d, sched, backend="pallas")))(data)
+    assert np.all(np.asarray(stats) == FactorStatus.SUCCESS)
+    sols_ref, _ = jax.vmap(lambda d: lqr_factor_solve(d, sched))(data)
+    np.testing.assert_allclose(np.asarray(sols.x), np.asarray(sols_ref.x),
+                               rtol=5e-3, atol=5e-3)
