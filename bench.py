@@ -423,7 +423,16 @@ def run_scaling_mp(args):
         s.bind(("127.0.0.1", 0))
         port = str(s.getsockname()[1])
 
-    def spawn(num_procs):
+    _STRESS = ("import numpy as np\n"
+               "a = np.ones(32 * 1024 * 1024); b = np.ones_like(a)\n"
+               "while True:\n"
+               "    b[:] = a; a += 1.0\n")
+
+    def spawn(num_procs, mem_stress=False, independent=False):
+        """independent=True: launch `num_procs` UNCOUPLED single-process
+        workers simultaneously (no jax.distributed, no collectives) —
+        the shared-hardware scaling limit; the delta between this and
+        the joined run isolates the collective/coordination cost."""
         env_base = dict(os.environ)
         env_base[_MP_WORKER_ENV] = "1"
         env_base["JAX_PLATFORMS"] = "cpu"
@@ -442,21 +451,53 @@ def run_scaling_mp(args):
         procs = []
         for i in range(num_procs):
             env = dict(env_base)
-            env["_SOC_MP_PROC_ID"] = str(i)
+            env["_SOC_MP_PROC_ID"] = str(0 if independent else i)
+            if independent:
+                env["_SOC_MP_NUM_PROCS"] = "1"
             procs.append(subprocess.Popen(
                 ["taskset", "-c", cores[i], sys.executable] + sys.argv,
                 env=env, stdout=subprocess.PIPE, text=True))
-        outs = [p.communicate(timeout=1800)[0] for p in procs]
+        stress = None
+        if mem_stress:
+            # saturate the OTHER core with DRAM-streaming work: measures
+            # the 1-process throughput under the same shared-memory-
+            # bandwidth load the 2-process run experiences
+            stress = subprocess.Popen(
+                ["taskset", "-c", cores[1], sys.executable, "-c", _STRESS])
+        try:
+            outs = [p.communicate(timeout=1800)[0] for p in procs]
+        finally:
+            if stress is not None:
+                stress.kill()
+                stress.wait()
         for i, p in enumerate(procs):
             assert p.returncode == 0, f"worker {i} failed"
         recs = [json.loads(o.strip().splitlines()[-1]) for o in outs]
+        if independent:
+            thr = sum(r["batch"] / r["t_best"] for r in recs)
+            return thr, sum(r["solved"] for r in recs), \
+                sum(r["batch"] for r in recs), recs
         rec = recs[0]
         return (rec["batch"] / rec["t_best"], rec["solved"], rec["batch"],
                 recs)
 
     thr_1, solved_1, b_1, _ = spawn(1)
+    thr_1c, _, _, _ = spawn(1, mem_stress=True)
+    thr_2i, _, _, _ = spawn(2, independent=True)
     thr_2, solved_2, b_2, recs_2 = spawn(2)
     eff = thr_2 / (2.0 * thr_1)
+    # decomposition: eff = eff_hardware x eff_collectives, where
+    # eff_hardware = thr_2_independent / (2 thr_1) is the shared-silicon
+    # limit of two uncoupled workers, and eff_collectives = thr_2 /
+    # thr_2_independent isolates the jax.distributed/gloo coupling cost
+    eff_hw = thr_2i / (2.0 * thr_1)
+    eff_coll = thr_2 / max(thr_2i, 1e-9)
+    # efficiency against the CONTENDED single-process baseline: what one
+    # core actually delivers when the box's shared DRAM bandwidth carries
+    # a second streaming workload — the honest per-host denominator for
+    # weak scaling on a 2-core testbed (a real TPU host has dozens of
+    # cores per memory domain, so this contention amortizes there)
+    eff_contended = thr_2 / (2.0 * max(thr_1c, 1e-9))
     # Compute-only efficiency (VERDICT r3 item 7), MEASURED: both workers
     # run identical compute pinned to one core each, so the coordinator
     # host's extra process-CPU over the other worker IS the distributed
@@ -474,7 +515,12 @@ def run_scaling_mp(args):
         "unit": "ratio",
         "vs_baseline": round(eff / 0.80, 4),
         "throughput_1proc": round(thr_1, 1),
+        "throughput_1proc_contended": round(thr_1c, 1),
+        "throughput_2proc_independent": round(thr_2i, 1),
         "throughput_2proc": round(thr_2, 1),
+        "contended_baseline_efficiency": round(eff_contended, 4),
+        "hardware_efficiency": round(eff_hw, 4),
+        "collective_efficiency": round(eff_coll, 4),
         # measured coordinator-service share of the 2-proc run's silicon,
         # and the efficiency with that share removed from the denominator
         "coordinator_cpu_frac": round(coord_cpu / (2.0 * wall_2), 4),
