@@ -15,7 +15,8 @@ warm-start contract: tests/variable_dimensions_test.cpp:437-446).
 
 Default solver mode is fixed-trip REAL-TIME ITERATION with the filter
 line search and the fused Pallas probe (model-default budgets: cartpole
-K=5, robust_tree K=3, others K=7; soft 3e-3 barrier restart): every
+K=5, quadrotor K=4, chain16 K=2, robust_tree K=2, others K=7; soft 3e-3
+barrier restart): every
 re-solve runs exactly K IPM iterations as a lax.scan, so the batch never
 waits on its slowest member.  Truncated re-solves carry their warm state
 to the next step; closed-loop quality is gated by `final_state_rms`
@@ -616,7 +617,7 @@ def main():
                         "even when the TPU tunnel stalls session acquire "
                         "(VERDICT r2 item 1)")
     parser.add_argument("--rti", type=int, default=None, metavar="K",
-                        help="real-time-iteration mode (DEFAULT, K=7): "
+                        help="real-time-iteration mode (DEFAULT; model-default budgets — see the docstring): "
                         "warm re-solves run EXACTLY K fixed IPM "
                         "iterations (lax.scan, no while_loop) — removes "
                         "the batch-straggler waste of running every "
@@ -724,13 +725,17 @@ def main():
         args.rti = None         # RTI is a warm-re-solve (mpc-mode) concept
     f32 = dict(tol=args.tol, mu_min=1e-5, reg_floor=1e-5, prox_reg=1e-5,
                riccati_backend=args.backend)
+    warm_only = {}
     if args.factor_retries is None and args.rti is not None \
             and args.rti > 0 and args.mode == "mpc":
         # RTI default: no in-iteration retries — GN + reg floor makes
         # factor failures rare, a failure still becomes a rejected step
         # with a reg boost, and skipping the retry while_loop wrapper
-        # measured +13% headline (262.0k vs 231.8k, same quality bars)
-        args.factor_retries = 0
+        # measured +13% headline (262.0k vs 231.8k, same quality bars).
+        # Applied to the WARM settings only: cold starts (constant-
+        # trajectory inits, where ill-conditioned factors actually occur)
+        # keep the library's retry loop.
+        warm_only["max_factor_retries"] = 0
     if args.factor_retries is not None:
         f32["max_factor_retries"] = args.factor_retries
     if args.precision is not None:
@@ -774,10 +779,10 @@ def main():
         f32["line_search"] = _dc.replace(base_ls, **rti_ls)
         warm_settings = Settings(max_iterations=args.rti,
                                  fixed_iterations=True,
-                                 mu_init=args.warm_mu, **f32)
+                                 mu_init=args.warm_mu, **f32, **warm_only)
     else:
         warm_settings = Settings(max_iterations=args.warm_iters,
-                                 mu_init=args.warm_mu, **f32)
+                                 mu_init=args.warm_mu, **f32, **warm_only)
 
     rng = np.random.default_rng(0)
     n = dims.max_state_dim

@@ -36,13 +36,14 @@ def main():
     ap.add_argument("--model", default="cartpole")
     ap.add_argument("--horizon", type=int, default=50)
     ap.add_argument("--batch", type=int, default=4096)
-    ap.add_argument("--rti", type=int, default=7)
+    ap.add_argument("--rti", type=int, default=5)
     ap.add_argument("--ls-steps", type=int, default=6)
     ap.add_argument("--ls-chunk", type=int, default=6)
     ap.add_argument("--steps-per-call", type=int, default=25)
     ap.add_argument("--batch-axis", default="lead",
                     choices=["lead", "minor"])
-    ap.add_argument("--fused-ls", type=int, default=0)
+    ap.add_argument("--fused-ls", type=int, default=1)
+    ap.add_argument("--filter-ls", type=int, default=1)
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--outdir", default="/tmp/soc_trace")
     args = ap.parse_args()
@@ -64,9 +65,10 @@ def main():
         max_iterations=args.rti, fixed_iterations=True, mu_init=3e-3,
         tol=1e-3, mu_min=1e-5, reg_floor=1e-5, prox_reg=1e-5,
         riccati_backend="pallas",
-        line_search=LineSearchSettings(max_steps=args.ls_steps,
-                                       chunk=args.ls_chunk,
-                                       fused_probe=bool(args.fused_ls)))
+        line_search=LineSearchSettings(
+            max_steps=args.ls_steps, chunk=args.ls_chunk,
+            fused_probe=bool(args.fused_ls),
+            use_filter_line_search=bool(args.filter_ls)))
     rng = np.random.default_rng(0)
     n = dims.max_state_dim
     x0s = jnp.asarray(np.tile(np.asarray(x0, np.float32), (B, 1))

@@ -333,7 +333,11 @@ def build_problem(spec: ModelSpec, dims: Dimensions, topology: Topology,
     fused_ls = None
     if (topology.is_chain and uniform and p == 0
             and spec.node_eq is None and spec.node_ineq is None
-            and spec.edge_eq is None and spec.edge_ineq is None):
+            and spec.edge_eq is None and spec.edge_ineq is None
+            # declared constraint DIMS must be zero too: nonzero dims with
+            # default zero-fns still create slack rows whose barrier/
+            # infeasibility terms the fused probe does not carry
+            and cn == 0 and ce == 0 and gn == 0 and ge == 0):
         try:
             lo_u, up_u = np.asarray(lower.u), np.asarray(upper.u)
             lo_x, up_x = np.asarray(lower.x), np.asarray(upper.x)

@@ -389,17 +389,12 @@ def _factor_chain_pallas_batched(data, interpret=False):
     F_chol, sd, sdi, f_status = _factor_F(data.delta, V)
 
     if use_gram:
-        # W for all stages in one batched (parallel-over-stages) pass:
-        # W = delta^{-1/2} (I - F^{-1}) delta^{-1/2}; edge e's W is its
-        # child node's (node e+1 on a chain)
-        eye = jnp.eye(n, dtype=dtype)
-        eyeb = jnp.broadcast_to(eye, F_chol.shape)
-        y_ = jax.lax.linalg.triangular_solve(
-            F_chol, eyeb, left_side=True, lower=True)
-        f_inv = jax.lax.linalg.triangular_solve(
-            F_chol, y_, left_side=True, lower=True, transpose_a=True)
-        W_nodes = sdi[..., :, None] * (eyeb - f_inv) * sdi[..., None, :]
-        W = W_nodes[:, 1:]
+        # W for all stages in one batched (parallel-over-stages) pass;
+        # edge e's W is its child node's (node e+1 on a chain).  Solver
+        # programs never consume W on the pallas path (the solve bwd
+        # kernel uses F_chol directly), so XLA dead-code-eliminates this.
+        from .lqr import _regularized_W
+        W = _regularized_W(F_chol, sdi)[:, 1:]
     else:
         W = _from_tiles(w_t).reshape(Bp, T, n, n)
     g_diag = jnp.diagonal(G_chol, axis1=-2, axis2=-1)

@@ -224,7 +224,6 @@ _RULES = {
     "closed_call": _call_rule,
     "custom_jvp_call": _call_rule,
     "custom_vjp_call": _call_rule,
-    "custom_vjp_call_jaxpr": _call_rule,
     "remat": _call_rule,
     "checkpoint": _call_rule,
 }

@@ -471,13 +471,19 @@ def _solve_impl(problem: OCProblem, settings: Settings,
                        zmask)
         # Per-element (or scalar) residual scalings (reference:
         # ResidualScaling double arrays, types.hpp:144-148).
+        def _is_scalar_scale(s_):
+            # Python/numpy/jnp scalars all scale the norm directly;
+            # anything else is a per-element pytree
+            return isinstance(s_, (int, float)) or (
+                hasattr(s_, "ndim") and s_.ndim == 0)
+
         def scaled_inf(tree, scale):
-            if isinstance(scale, (int, float)):
+            if _is_scalar_scale(scale):
                 return scale * _tinf(tree)
             return _tinf(_tmap(lambda a, s_: a * s_, tree, scale))
 
         sb = problem.scale_bound
-        sb_scalar = isinstance(sb, (int, float))
+        sb_scalar = _is_scalar_scale(sb)
 
         # complementarity at barrier parameter value `m_mu`
         def comp(m_mu):
@@ -795,8 +801,13 @@ def _solve_impl(problem: OCProblem, settings: Settings,
             if chunk >= ls.max_steps:
                 # one chunk covers the whole budget: the while_loop would
                 # run exactly one trip — call the body directly and skip
-                # the loop wrapper's carry boundary
-                alpha, _, accepted = fls_body(ls_init)
+                # the loop wrapper's carry boundary.  NaN phi0 (the init's
+                # accepted flag) must still reproduce the loop's zero-trip
+                # semantics: keep the init state on those lanes.
+                alpha_b, _, acc_b = fls_body(ls_init)
+                nan0 = phi0 != phi0
+                alpha = jnp.where(nan0, ls_init[0], alpha_b)
+                accepted = nan0 | acc_b
             else:
                 alpha, _, accepted = lax.while_loop(ls_cond, fls_body,
                                                     ls_init)
@@ -829,9 +840,13 @@ def _solve_impl(problem: OCProblem, settings: Settings,
 
             ls_init = (alpha_p + 0.0 * phi0, jnp.int32(0), phi0 != phi0)
             if chunk >= ls.max_steps:
-                # single-trip budget: skip the while wrapper (see filter
-                # branch)
-                alpha, _, accepted = ls_body(ls_init)
+                # single-trip budget: skip the while wrapper, preserving
+                # the loop's zero-trip semantics on NaN-phi0 lanes (see
+                # filter branch)
+                alpha_b, _, acc_b = ls_body(ls_init)
+                nan0 = phi0 != phi0
+                alpha = jnp.where(nan0, ls_init[0], alpha_b)
+                accepted = nan0 | acc_b
             else:
                 alpha, _, accepted = lax.while_loop(ls_cond, ls_body,
                                                     ls_init)

@@ -97,6 +97,16 @@ def test_eligibility_gate():
                           initial_state=jnp.asarray([1.0]))
     assert prob2.fused_ls is None
 
+    # nonzero DECLARED inequality dims with default zero-fns still carry
+    # slack rows the fused probe cannot represent -> ineligible
+    dims2b = Dimensions(theta_dim=0, state_dims=(1, 1), control_dims=(1,),
+                        node_c_dims=(0, 0), node_g_dims=(1, 1),
+                        edge_c_dims=(0,), edge_g_dims=(0,))
+    spec2b = ModelSpec(dynamics=lambda x, u, th, i: x + u)
+    prob2b = build_problem(spec2b, dims2b, Topology.chain(1),
+                           initial_state=jnp.asarray([1.0]))
+    assert prob2b.fused_ls is None
+
     # plain chain -> eligible
     spec3, dims3, topo3, lo3, up3, x03 = cartpole_swingup(horizon=3)
     prob3 = build_problem(spec3, dims3, topo3, initial_state=x03,

@@ -265,6 +265,15 @@ def test_per_element_residual_scaling():
     np.testing.assert_allclose(float(result.vars.u[0, 0]), 0.5, atol=1e-7)
     np.testing.assert_allclose(float(result.vars.x[1, 0]), 1.5, atol=1e-7)
 
+    # numpy / 0-d jnp scalars must keep working as scalar scalings
+    pnp = build_problem(spec, dims, Topology.chain(1),
+                        initial_state=jnp.asarray([1.0]),
+                        scale_dual=np.float32(2.0),
+                        scale_equality=jnp.asarray(0.5),
+                        scale_bound=np.float64(1.0))
+    rnp = jax.jit(lambda: solve(pnp, Settings()))()
+    assert int(rnp.status) == SIPStatus.SOLVED
+
     # (b) zero vectors silence the scaled residual rows; only the (unscaled)
     # g+s row remains, which a bounds-only problem satisfies by slack init
     lower, upper = box_bounds(dims, u_lower=-0.1, u_upper=0.1)
