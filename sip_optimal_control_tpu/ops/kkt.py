@@ -225,12 +225,22 @@ def _safe_inv(v, mask):
 
 def kkt_factor(model: StageModelData, regs: Regularizations,
                masks: ConstraintMasks, sched: TopologySchedule,
-               backend: str = "scan") -> KKTFactorization:
+               backend: str = "scan",
+               axis_names: Tuple[str, ...] = ()) -> KKTFactorization:
     """Condense + LQR-factor (+ theta Schur).  Reference:
     CallbackProvider::factor (helpers.cpp:242-408).
 
     ``backend`` selects the chain Riccati implementation (see
-    ops.lqr.lqr_factor)."""
+    ops.lqr.lqr_factor).
+
+    ``axis_names``: mapped axes (vmap and/or mesh) over which scenarios
+    share ONE global theta (SURVEY 2.10(c)).  The theta Schur complement
+    S_theta = sum_shards(sum d2L/dtheta2 - J_theta^T K^{-1} J_theta)
+    + diag(r1_theta) is psum-reduced across them (the reference computes
+    the same sum serially over all stages of one process,
+    helpers.cpp:376-407); the stagewise factorization stays shard-local.
+    Convention: per-lane theta quantities are CONTRIBUTIONS to the global
+    sum — the caller masks lane-replicated terms (r1_th) to one lane."""
     parent = np.asarray(sched.topology.edge_parents)
     dtype = model.Hxx_node.dtype
 
@@ -308,6 +318,11 @@ def kkt_factor(model: StageModelData, regs: Regularizations,
                + jnp.sum(model.Hthth_edge, axis=0)
                + jnp.diag(regs.r1_th)
                - _theta_dot(j_theta, k_inv_j))
+    if axis_names:
+        # shared-theta mode: sum local Schur contributions across all
+        # scenario lanes/shards; every lane then factors the identical
+        # global p x p system
+        s_theta = jax.lax.psum(s_theta, axis_names)
     s_chol, s_ok = cholesky_with_ok(s_theta)
     status = _merge_status(status, jnp.where(
         s_ok, FactorStatus.SUCCESS,
@@ -408,10 +423,17 @@ def _solve_stagewise(fact: KKTFactorization, model: StageModelData,
 
 def kkt_solve(fact: KKTFactorization, model: StageModelData, b: KKTVector,
               sched: TopologySchedule,
-              backend: str = "scan") -> KKTVector:
+              backend: str = "scan",
+              axis_names: Tuple[str, ...] = ()) -> KKTVector:
     """Full KKT solve incl. theta back-substitution.
 
-    Reference: CallbackProvider::solve (helpers.cpp:896-951)."""
+    Reference: CallbackProvider::solve (helpers.cpp:896-951).
+
+    With ``axis_names`` (shared global theta across scenario lanes/shards,
+    SURVEY 2.10(c)): b.theta carries the LANE-LOCAL contribution to the
+    global theta RHS; the reduced RHS is psum-ed, each lane solves the
+    identical Schur system, and the (replicated) dtheta is back-substituted
+    into the lane-local stagewise solution."""
     sol = _solve_stagewise(fact, model, b, sched, backend)
     p = b.theta.shape[-1]
     if p == 0:
@@ -419,6 +441,8 @@ def kkt_solve(fact: KKTFactorization, model: StageModelData, b: KKTVector,
 
     j_theta = _theta_jacobian_columns(model, sched)
     theta_rhs = b.theta - _theta_vec_dot(j_theta, sol)
+    if axis_names:
+        theta_rhs = jax.lax.psum(theta_rhs, axis_names)
     dtheta = cho_solve(fact.theta_schur_chol, theta_rhs)
     correction = jax.tree.map(
         lambda cols: jnp.tensordot(dtheta, cols, axes=(0, 0)),

@@ -126,11 +126,17 @@ def _probe_kernel(spec: FusedLSSpec, chunk: int,
     alphas = [al_ref[k] for k in range(chunk)]
 
     def logb_terms(v, lb, ub):
+        # -inf for non-positive bound distances so infeasible candidates
+        # are rejected exactly like the standard probe (whose f32
+        # _EPS=1e-300 clamp underflows to 0 -> log(0) = -inf); ADVICE r4.
+        def safe_log(d):
+            return jnp.where(d > 0, jnp.log(jnp.maximum(d, _EPS)),
+                             -jnp.inf)
         out = None
         if np.isfinite(lb):
-            out = jnp.log(jnp.maximum(v - lb, _EPS))
+            out = safe_log(v - lb)
         if np.isfinite(ub):
-            t = jnp.log(jnp.maximum(ub - v, _EPS))
+            t = safe_log(ub - v)
             out = t if out is None else out + t
         return out
 
@@ -301,14 +307,16 @@ def _probe_reference(spec: FusedLSSpec, bounds, x, dx, u, du, x0, alphas):
                 xp, ua, th0, ts)))
 
         def logb(v, lb, ub):
+            # same -inf-on-violation semantics as the kernel (ADVICE r4)
+            def safe_log(d):
+                return jnp.where(d > 0, jnp.log(jnp.maximum(d, _EPS)),
+                                 -jnp.inf)
             out = jnp.zeros((), x.dtype)
             for j in range(v.shape[-1]):
                 if np.isfinite(lb[j]):
-                    out = out + jnp.sum(jnp.log(jnp.maximum(
-                        v[..., j] - lb[j], _EPS)))
+                    out = out + jnp.sum(safe_log(v[..., j] - lb[j]))
                 if np.isfinite(ub[j]):
-                    out = out + jnp.sum(jnp.log(jnp.maximum(
-                        ub[j] - v[..., j], _EPS)))
+                    out = out + jnp.sum(safe_log(ub[j] - v[..., j]))
             return out
 
         lb_sum = logb(ua, lb_u, ub_u) + logb(xa, lb_x, ub_x)
@@ -334,13 +342,17 @@ def make_fused_probe(spec: FusedLSSpec, bounds):
 
         x, dx, u, du, x0, alphas = map(
             bcast, (x, dx, u, du, x0, alphas), in_batched)
-        if x.dtype != jnp.float32 or axis_size < 2:
+        # Non-TPU backends use the vmapped pure-JAX probe: Pallas interpret
+        # mode is orders of magnitude slower than the XLA probe it replaces
+        # (ADVICE r4); the kernel's interpret path stays reachable for the
+        # test suite via _probe_pallas_batched(..., interpret=True).
+        if (x.dtype != jnp.float32 or axis_size < 2
+                or jax.default_backend() != "tpu"):
             out = jax.vmap(lambda *a: _probe_reference(
                 spec, bounds, *a))(x, dx, u, du, x0, alphas)
         else:
-            interpret = jax.default_backend() != "tpu"
             out = _probe_pallas_batched(spec, bounds, x, dx, u, du, x0,
-                                        alphas, interpret=interpret)
+                                        alphas)
         return out, (True, True, True)
 
     return probe

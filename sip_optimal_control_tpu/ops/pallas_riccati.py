@@ -229,7 +229,11 @@ def _factor_kernel_gram(n, m, T,
     G = [[None] * m for _ in range(m)]
     for i in range(m):
         for j in range(i, m):
-            s = R[i][j]
+            # symmetrized read: the kernel computes only the upper triangle
+            # and mirrors it, so a numerically asymmetric user Hessian block
+            # must not silently diverge from the full-matrix backends
+            # (ADVICE r4)
+            s = R[i][j] if i == j else 0.5 * (R[i][j] + R[j][i])
             for k in range(n):
                 s = s + Bh[k][i] * Bh[k][j] - Zb[k][i] * Zb[k][j]
             G[i][j] = s
@@ -247,7 +251,8 @@ def _factor_kernel_gram(n, m, T,
     Vp = [[None] * n for _ in range(n)]
     for i in range(n):
         for j in range(i, n):
-            s = Qp[i][j]
+            # symmetrized read (see G above; ADVICE r4)
+            s = Qp[i][j] if i == j else 0.5 * (Qp[i][j] + Qp[j][i])
             for k in range(n):
                 s = s + Ah[k][i] * Ah[k][j] - Za[k][i] * Za[k][j]
             for k in range(m):

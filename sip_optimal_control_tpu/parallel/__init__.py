@@ -1,2 +1,2 @@
 from .sharding import (scenario_mesh, shard_scenarios, solve_batch_sharded,
-                       BatchSolveStats)
+                       solve_joint_theta, BatchSolveStats)

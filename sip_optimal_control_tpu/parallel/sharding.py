@@ -81,3 +81,61 @@ def solve_batch_sharded(spec: ModelSpec, dims: Dimensions,
         shard_fn, mesh=mesh, in_specs=(P(axis_name),),
         out_specs=(P(axis_name), P(axis_name), P()))
     return fn(x0s)
+
+
+def solve_joint_theta(spec: ModelSpec, dims: Dimensions,
+                      topology: Topology, x0s: jax.Array,
+                      settings: Optional[Settings] = None,
+                      mesh: Optional[Mesh] = None,
+                      axis_name: str = "scenario",
+                      lower=None, upper=None,
+                      hessian_mode: str = "exact",
+                      scale_dual=1.0, scale_equality=1.0, scale_bound=1.0):
+    """Jointly solve S scenarios that share ONE global theta, with the
+    scenarios sharded across the mesh (SURVEY 2.10(c): coupled cross-shard
+    computation, not just data-parallel metrics).
+
+    Each scenario is a copy of the stagewise problem with its own initial
+    state ``x0s[s]`` but a single shared parameter vector theta: the joint
+    NLP is  min_{v_1..v_S, theta} sum_s f(v_s, theta)  s.t. per-scenario
+    constraints.  Mathematically this equals one star tree (a
+    zero-state-dim root fanning out to the S scenario chains) solved on
+    one device — the structure the reference's theta/Schur path expresses
+    serially (reference: helpers.cpp:376-407) — but here the scenario
+    blocks factor shard-locally and ONLY the p x p theta Schur complement
+    and theta RHS cross device boundaries, as psums over ICI.
+
+    Returns the vmapped SolveResult over all S scenarios; theta is
+    replicated (identical on every scenario lane) — read
+    ``result.vars.theta[0]``.
+
+    Requires unbounded theta (see solver.sip.solve's coupled_axes doc).
+    ``mesh=None`` runs the same coupled solve on one device (vmap only) —
+    the oracle the sharded run is tested against."""
+    settings = settings or Settings()
+    local_axis = "joint_theta_local"
+
+    def solve_one(x0, axes):
+        problem = build_problem(spec, dims, topology, initial_state=x0,
+                                lower=lower, upper=upper,
+                                hessian_mode=hessian_mode,
+                                scale_dual=scale_dual,
+                                scale_equality=scale_equality,
+                                scale_bound=scale_bound)
+        return solve(problem, settings, coupled_axes=axes)
+
+    if mesh is None:
+        return jax.vmap(lambda x0: solve_one(x0, (local_axis,)),
+                        axis_name=local_axis)(x0s)
+
+    def shard_fn(x0_local):
+        return jax.vmap(lambda x0: solve_one(x0, (local_axis, axis_name)),
+                        axis_name=local_axis)(x0_local)
+
+    # check_vma=False: jax 0.7's varying-axes checker cannot yet express
+    # collectives over a vmap axis nested inside shard_map (psum over the
+    # local scenario lanes); the collectives themselves compile and run
+    # correctly (see tests/test_joint_theta.py's single-device parity).
+    fn = shard_map(shard_fn, mesh=mesh, in_specs=(P(axis_name),),
+                   out_specs=P(axis_name), check_vma=False)
+    return fn(x0s)

@@ -323,7 +323,8 @@ def solve(problem: OCProblem, settings: Settings,
           init_y: Optional[YVec] = None,
           init_z: Optional[ZVec] = None,
           init_zl: Optional[Primal] = None,
-          init_zu: Optional[Primal] = None) -> SolveResult:
+          init_zu: Optional[Primal] = None,
+          coupled_axes: Optional[tuple] = None) -> SolveResult:
     """Run the interior-point solve.  Fully traceable; vmap over a leading
     batch axis of the arrays referenced by the problem's closures + inits
     for scenario batching.
@@ -338,7 +339,17 @@ def solve(problem: OCProblem, settings: Settings,
     are projected into the IPOPT-style kappa_sigma box
     [mu/(kappa d), kappa mu/d], which keeps a carried multiplier at an
     active bound (the cold init mu/d there is off by orders of
-    magnitude)."""
+    magnitude).
+
+    ``coupled_axes``: names of mapped axes (vmap axis_name and/or mesh
+    axes) across which all lanes solve ONE joint problem sharing the
+    global theta (SURVEY 2.10(c)).  Scalar couplings (merit, residual
+    norms, step limits, line search) and the theta Schur system are
+    reduced across these axes with psum/pmax/pmin, so the joint solve is
+    mathematically identical to a single-device solve of the equivalent
+    star tree; the stagewise factorizations stay lane-local.  Requires
+    unbounded theta (box bounds on theta would add lane-replicated
+    barrier terms this mode does not de-duplicate)."""
     if settings.fixed_iterations and settings.max_iterations < 1:
         # the degenerate 0-trip scan would skip the body entirely, where
         # the while_loop path always executes one trip (ADVICE r3)
@@ -350,12 +361,12 @@ def solve(problem: OCProblem, settings: Settings,
     # problems (see Settings.matmul_precision).
     with jax.default_matmul_precision(settings.matmul_precision):
         return _solve_impl(problem, settings, init_vars, init_y, init_z,
-                           init_zl, init_zu)
+                           init_zl, init_zu, coupled_axes)
 
 
 def _solve_impl(problem: OCProblem, settings: Settings,
                 init_vars, init_y, init_z, init_zl,
-                init_zu) -> SolveResult:
+                init_zu, coupled_axes=None) -> SolveResult:
     dims = problem.dims
     masks = problem.masks
     sched = problem.sched
@@ -370,6 +381,45 @@ def _solve_impl(problem: OCProblem, settings: Settings,
     has_lb = _tmap(jnp.isfinite, lower)
     has_ub = _tmap(jnp.isfinite, upper)
     ls = settings.line_search
+
+    # ----- coupled (shared-theta) reductions -------------------------------
+    # With coupled_axes set, every lane of the mapped axes is one scenario
+    # of a single joint NLP sharing the global theta: scalar couplings are
+    # psum/pmax/pmin-reduced, lane-replicated theta terms (prox reg) are
+    # counted exactly once via a lane-0 indicator, and kkt_factor/kkt_solve
+    # psum the theta Schur pieces (SURVEY 2.10(c)).
+    coupled = tuple(coupled_axes) if coupled_axes else ()
+    if coupled:
+        try:
+            th_lo = np.asarray(lower.theta)
+            th_up = np.asarray(upper.theta)
+            if np.any(np.isfinite(th_lo)) or np.any(np.isfinite(th_up)):
+                raise ValueError(
+                    "coupled_axes requires unbounded theta (theta box "
+                    "bounds would add lane-replicated barrier terms)")
+        except ValueError:
+            raise
+        except Exception:
+            pass  # traced bounds: trust the caller
+        def _fold(op):
+            # one collective per axis: mixing vmap axis names and mesh
+            # axis names in a single psum trips shard_map's varying-axes
+            # checker (jax 0.7)
+            def red(v):
+                for ax in coupled:
+                    v = op(v, ax)
+                return v
+            return red
+        gsum = _fold(lax.psum)
+        gmax = _fold(lax.pmax)
+        gmin = _fold(lax.pmin)
+        rep0_flag = jnp.asarray(True)
+        for ax in coupled:
+            rep0_flag = rep0_flag & (lax.axis_index(ax) == 0)
+        rep0 = rep0_flag.astype(dtype)                 # 1 on global lane 0
+    else:
+        gsum = gmax = gmin = lambda v: v               # noqa: E731
+        rep0 = jnp.asarray(1.0, dtype)
 
     def dist_l(vars):
         return _tmap(lambda v, lb, h: jnp.where(h, v - lb, 1.0),
@@ -455,6 +505,7 @@ def _solve_impl(problem: OCProblem, settings: Settings,
     fused_probe_fn = None
     fused_x0 = None
     if (ls.fused_probe and problem.fused_ls is not None
+            and not coupled
             and sched.topology.is_chain and dtype == jnp.float32):
         from ..ops.pallas_ls import make_fused_probe
         _fspec, _fbounds, fused_x0 = problem.fused_ls
@@ -467,6 +518,10 @@ def _solve_impl(problem: OCProblem, settings: Settings,
         gt = apply_GT(ev.stage, duals, sched)
         stat = _tmap(lambda g_, a, b_, l, u_, m: (g_ + a + b_ + u_ - l) * m,
                      ev.grad, _primal_of(ct), _primal_of(gt), zl, zu, pmask)
+        if coupled:
+            # joint stationarity in theta = sum of lane contributions
+            # (theta is unbounded here, so zl/zu theta rows are zero)
+            stat = dataclasses.replace(stat, theta=gsum(stat.theta))
         r_ineq = _tmap(lambda g, sv, m: jnp.where(m, g + sv, 0.0), ev.g, s,
                        zmask)
         # Per-element (or scalar) residual scalings (reference:
@@ -498,11 +553,11 @@ def _solve_impl(problem: OCProblem, settings: Settings,
                                                    scaled_inf(cu, sb)))
 
         def err(m_mu):
-            return jnp.max(jnp.stack([
+            return gmax(jnp.max(jnp.stack([
                 scaled_inf(stat, problem.scale_dual),
                 scaled_inf(ev.c, problem.scale_equality),
                 _tinf(r_ineq),
-                comp(m_mu)]))
+                comp(m_mu)])))
 
         return stat, r_ineq, err
 
@@ -546,7 +601,12 @@ def _solve_impl(problem: OCProblem, settings: Settings,
         theta = _tsum(_tmap(jnp.abs, c)) + _tsum(
             _tmap(lambda gv, sv, m: jnp.where(m, jnp.abs(gv + sv), 0.0),
                   g, s, zmask))
-        return f - mu * (log_s + log_b) + nu * theta, theta
+        base = f - mu * (log_s + log_b)
+        if coupled:
+            # joint merit = sum over all scenario lanes (theta is
+            # unbounded, so no lane-replicated barrier term to de-dup)
+            base, theta = gsum(base), gsum(theta)
+        return base + nu * theta, theta
 
     # ----- one IPM iteration ----------------------------------------------
     def body(st: _IPMState) -> _IPMState:
@@ -579,6 +639,11 @@ def _solve_impl(problem: OCProblem, settings: Settings,
             dl, zl, has_lb, du, zu, has_ub)
         r1 = _tmap(lambda b_, m: (settings.prox_reg * st.reg_boost + b_) * m,
                    bound_diag, pmask)
+        if coupled:
+            # the global theta's prox regularization is ONE term of the
+            # joint system: count it on global lane 0 only (the psum in
+            # kkt_factor then adds it exactly once)
+            r1 = dataclasses.replace(r1, theta=r1.theta * rep0)
         w = _tmap(lambda sv, zv, m: jnp.where(m, sv / zv, 1.0), s, z, zmask)
         regs = Regularizations(
             w_n=w.n, w_e=w.e, r1_x=r1.x, r1_u=r1.u, r1_th=r1.theta,
@@ -606,7 +671,16 @@ def _solve_impl(problem: OCProblem, settings: Settings,
         # factor with bounded proximal-inflation retries
         rbackend = (settings.riccati_backend if sched.topology.is_chain
                     else "scan")
-        fact0 = kkt_factor(ev.stage, regs, masks, sched, rbackend)
+
+        def gfactor(regs_):
+            # coupled mode: a joint factorization fails when ANY lane's
+            # does (all lanes must retry/reject together — they share one
+            # Newton system)
+            f_ = kkt_factor(ev.stage, regs_, masks, sched, rbackend,
+                            axis_names=coupled)
+            return f_._replace(status=gmax(f_.status)) if coupled else f_
+
+        fact0 = gfactor(regs)
 
         def retry_cond(carry):
             regs_c, fact_c, k = carry
@@ -621,10 +695,9 @@ def _solve_impl(problem: OCProblem, settings: Settings,
                 r1_u=regs_c.r1_u * settings.retry_scale
                 + settings.retry_scale * settings.prox_reg * pmask.u,
                 r1_th=regs_c.r1_th * settings.retry_scale
-                + settings.retry_scale * settings.prox_reg * pmask.theta)
-            return (regs_n,
-                    kkt_factor(ev.stage, regs_n, masks, sched, rbackend),
-                    k + 1)
+                + settings.retry_scale * settings.prox_reg * pmask.theta
+                * (rep0 if coupled else 1.0))
+            return (regs_n, gfactor(regs_n), k + 1)
 
         if settings.max_factor_retries > 0:
             regs_f, fact, _ = lax.while_loop(
@@ -638,10 +711,16 @@ def _solve_impl(problem: OCProblem, settings: Settings,
             regs_f, fact = regs, fact0
         factor_failed = fact.status != 0
 
-        sol = kkt_solve(fact, ev.stage, b, sched, rbackend)
+        sol = kkt_solve(fact, ev.stage, b, sched, rbackend,
+                        axis_names=coupled)
         for _ in range(settings.iterative_refinement_steps):
+            # coupled note: apply_K's theta row returns this lane's
+            # contribution (regs_f.r1_th is lane-0 masked), so resid.theta
+            # stays a lane-local contribution — kkt_solve's psum then
+            # reduces it exactly like the original b.theta
             resid = b - apply_K(ev.stage, regs_f, sol, sched)
-            sol = sol + kkt_solve(fact, ev.stage, resid, sched, rbackend)
+            sol = sol + kkt_solve(fact, ev.stage, resid, sched, rbackend,
+                                  axis_names=coupled)
         dv = _primal_of(sol)
         dy = _y_of(sol)
         dz = _z_of(sol)
@@ -671,7 +750,7 @@ def _solve_impl(problem: OCProblem, settings: Settings,
             a = jnp.where(bad, -tau * val / jnp.where(bad, dval, -1.0), 1.0)
             return jnp.min(a, initial=1.0)
 
-        alpha_p = jnp.minimum(
+        alpha_p = gmin(jnp.minimum(
             jnp.min(jnp.stack([max_step(sv, dsv, m) for sv, dsv, m in zip(
                 jax.tree.leaves(s), jax.tree.leaves(ds),
                 jax.tree.leaves(zmask))]), initial=1.0) if
@@ -684,29 +763,29 @@ def _solve_impl(problem: OCProblem, settings: Settings,
                 jnp.min(jnp.stack(
                     [max_step(d, -dd, h) for d, dd, h in zip(
                         jax.tree.leaves(du), jax.tree.leaves(dv),
-                        jax.tree.leaves(has_ub))]), initial=1.0)))
-        alpha_d = jnp.min(jnp.stack(
+                        jax.tree.leaves(has_ub))]), initial=1.0))))
+        alpha_d = gmin(jnp.min(jnp.stack(
             [max_step(a, b_, m) for a, b_, m in zip(
                 jax.tree.leaves(z) + jax.tree.leaves(zl)
                 + jax.tree.leaves(zu),
                 jax.tree.leaves(dz) + jax.tree.leaves(dzl)
                 + jax.tree.leaves(dzu),
                 jax.tree.leaves(zmask) + jax.tree.leaves(has_lb)
-                + jax.tree.leaves(has_ub))]), initial=1.0)
+                + jax.tree.leaves(has_ub))]), initial=1.0))
 
         # ----- Armijo backtracking on the barrier merit function ----------
         phi0, theta0 = barrier_value(vars, s, ev.f, ev.c, ev.g, mu, 0.0)
         # directional derivative of f + barrier
-        d_phi = (_tdot(ev.grad, dv)
-                 - mu * _tsum(_tmap(
-                     lambda dsv, sv, m: jnp.where(m, dsv / sv, 0.0), ds, s,
-                     zmask))
-                 - mu * _tsum(_tmap(
-                     lambda dx_, d, h: jnp.where(h, dx_ / d, 0.0), dv, dl,
-                     has_lb))
-                 + mu * _tsum(_tmap(
-                     lambda dx_, d, h: jnp.where(h, dx_ / d, 0.0), dv, du,
-                     has_ub)))
+        d_phi = gsum(_tdot(ev.grad, dv)
+                     - mu * _tsum(_tmap(
+                         lambda dsv, sv, m: jnp.where(m, dsv / sv, 0.0),
+                         ds, s, zmask))
+                     - mu * _tsum(_tmap(
+                         lambda dx_, d, h: jnp.where(h, dx_ / d, 0.0),
+                         dv, dl, has_lb))
+                     + mu * _tsum(_tmap(
+                         lambda dx_, d, h: jnp.where(h, dx_ / d, 0.0),
+                         dv, du, has_ub)))
         nu = jnp.maximum(st.nu, jnp.where(
             theta0 > 1e-14, d_phi / ((1.0 - ls.nu_rho)
                                      * jnp.maximum(theta0, 1e-14)),

@@ -54,7 +54,14 @@ def test_probe_kernel_matches_reference_all_models():
             fspec, fbounds, *a))(*args)
         for name, a, b in zip(("f", "theta", "logb"), out_k, out_r):
             a, b = np.asarray(a), np.asarray(b)
-            err = np.max(np.abs(a - b) / (1.0 + np.abs(b)))
+            # random probe points violate bounds on some candidates: both
+            # paths emit -inf there (ADVICE r4 parity) — require the inf
+            # patterns to MATCH, compare finite entries numerically
+            assert np.array_equal(np.isneginf(a), np.isneginf(b)), \
+                (model.__name__, name)
+            fin = np.isfinite(b)
+            err = np.max(np.abs(a[fin] - b[fin]) / (1.0 + np.abs(b[fin])),
+                         initial=0.0)
             assert err < 2e-5, (model.__name__, name, err)
 
 
