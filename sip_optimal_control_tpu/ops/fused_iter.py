@@ -1,0 +1,904 @@
+"""Whole-iteration fusion for chain problems: model eval + condensation +
+Riccati factor/solve as one Pallas TPU kernel chain.
+
+The r4 device traces showed each IPM trip spending ~75% of its time in a
+tail of ~40 small XLA fusions (autodiff model evaluation, condensation,
+RHS condense/recover, residuals, updates) streaming [B, T, n, n] stage
+blocks through HBM — 210 MB per block at chain16 — plus the RTI
+freeze-select over the carried StageModelData.  This module removes the
+stage blocks from HBM entirely for the eligible class:
+
+  - The user's stage functions AND their autodiff derivatives (jacfwd of
+    the dynamics, grads/Hessians of the costs) run INSIDE the kernels
+    through the tile-scalar jaxpr interpreter (ops/tile_interp.py), one
+    [8, 128] vector-register tile per logical scalar, scenario batch on
+    the lanes — the same code shape as ops/pallas_ls.py.
+  - `_factor_kernel` fuses, per backward step: stage derivative
+    evaluation -> condensation (Q_mod = Hxx + diag(r1), reference:
+    helpers.cpp:297-354 collapsed to its unconstrained case) -> the
+    dual-regularized Riccati edge factorization (reference:
+    lqr.cpp:645-731), carrying the cost-to-go in VMEM.  Only the factor
+    PRODUCTS (V_child, K, G_chol, F_chol, A, B per edge) are written to
+    HBM, already in tile layout.
+  - `_solve_bwd_kernel`/`_solve_fwd_kernel` (reference: lqr.cpp:735-871)
+    consume those products WITHOUT leaving tile layout — the `_to_tiles`
+    transposes between factor and solve disappear.
+  - `_eval_kernel` fuses the per-edge residual/gradient evaluation the
+    IPM needs at the accepted iterate (objective, cost gradients,
+    C^T y products, dynamics residuals — the reference's new_x=true
+    model_callback path, sip_optimal_control.cpp:55-125) into one pass;
+    the solver then carries only O(n)-vectors per stage, so the RTI
+    freeze-select never touches a matrix block again.
+
+Scope (a subset of the fused-line-search class, model.py:333-354): chain
+topology, uniform dims, float32, theta_dim 0, no constraint functions
+(box bounds only), stage functions within the interpreter's primitive
+set.  Everything else uses the standard solver path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.custom_batching import custom_vmap
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from jax.scipy.linalg import cho_solve as _cho_solve_x
+
+from .tile_interp import eval_jaxpr_tiles, supports
+
+_SUB, _LANE = 8, 128
+_BLK = _SUB * _LANE
+
+# Tests set this to route the batched custom_vmap rules into the kernels
+# in Pallas interpret mode on CPU (production CPU falls back to the pure
+# JAX reference implementations instead — Pallas interpret mode is orders
+# of magnitude slower; cf. ADVICE r4 on the fused LS probe).
+INTERPRET_OVERRIDE = False
+
+# At n >= _GRAM_N the explicit-W edge factorization spills the vector
+# register file; the Gram formulation (see ops/pallas_riccati.py:183-195)
+# eliminates F_inv/W/WA.  Same threshold as the standalone factor kernel.
+_GRAM_N = 8
+
+
+def _use_kernels() -> bool:
+    return INTERPRET_OVERRIDE or jax.default_backend() == "tpu"
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+class FusedIterSpec(NamedTuple):
+    """Static model payload: stage-function jaxprs (closure constants
+    concrete) for in-kernel evaluation plus the original closures for the
+    reference/fallback paths."""
+
+    dyn: object          # (x, u, th, i) -> [n]
+    ncost: object        # (x, th, i) -> scalar
+    ecost: object        # (x, u, th, i) -> scalar
+    dyn_jac: object      # (x, u, th, i) -> (A [n,n], B [n,m])
+    dyn_vjp: object      # (x, u, th, i, yc) -> (A^T yc [n], B^T yc [m])
+    ncost_grad: object   # (x, th, i) -> [n]
+    ecost_grad: object   # (x, u, th, i) -> ([n], [m])
+    nhess: object        # (x, th, i) -> [n, n]
+    ehess: object        # GN: (x, u, th, i) -> (Hxx, Hxu, Huu)
+                         # exact: (x, u, th, i, yc) -> (Hxx, Hxu, Huu)
+    exact: bool
+    dyn_orig: object
+    ncost_orig: object
+    ecost_orig: object
+    horizon: int
+    n: int
+    m: int
+
+
+def build_fused_iter_spec(dynamics, node_cost, edge_cost, horizon, n, m,
+                          hessian_mode: str) -> Optional[FusedIterSpec]:
+    """Trace every stage function and derivative the kernels need; None
+    when any closure constant is traced (per-solve values) or any
+    primitive is unsupported by the tile interpreter."""
+    th0 = jnp.zeros((0,), jnp.float32)
+    ex_x = jnp.zeros((n,), jnp.float32)
+    ex_u = jnp.zeros((m,), jnp.float32)
+    ex_i = jnp.zeros((), jnp.int32)
+    ex_y = jnp.zeros((n,), jnp.float32)
+    exact = hessian_mode == "exact"
+
+    def edge_lag(x, u, th, i, yc):
+        return edge_cost(x, u, th, i) + jnp.dot(yc, dynamics(x, u, th, i))
+
+    try:
+        dyn_j = jax.make_jaxpr(dynamics)(ex_x, ex_u, th0, ex_i)
+        nco_j = jax.make_jaxpr(node_cost)(ex_x, th0, ex_i)
+        eco_j = jax.make_jaxpr(edge_cost)(ex_x, ex_u, th0, ex_i)
+        djac_j = jax.make_jaxpr(
+            jax.jacfwd(dynamics, argnums=(0, 1)))(ex_x, ex_u, th0, ex_i)
+        dvjp_j = jax.make_jaxpr(
+            lambda x, u, th, i, yc: jax.grad(
+                lambda x_, u_: jnp.dot(yc, dynamics(x_, u_, th, i)),
+                argnums=(0, 1))(x, u))(ex_x, ex_u, th0, ex_i, ex_y)
+        ngrad_j = jax.make_jaxpr(
+            jax.grad(node_cost, argnums=0))(ex_x, th0, ex_i)
+        egrad_j = jax.make_jaxpr(
+            jax.grad(edge_cost, argnums=(0, 1)))(ex_x, ex_u, th0, ex_i)
+        nhess_j = jax.make_jaxpr(
+            jax.hessian(node_cost, argnums=0))(ex_x, th0, ex_i)
+        if exact:
+            def eh(x, u, th, i, yc):
+                h = jax.hessian(edge_lag, argnums=(0, 1))(x, u, th, i, yc)
+                return h[0][0], h[0][1], h[1][1]
+            ehess_j = jax.make_jaxpr(eh)(ex_x, ex_u, th0, ex_i, ex_y)
+        else:
+            def eh(x, u, th, i):
+                h = jax.hessian(edge_cost, argnums=(0, 1))(x, u, th, i)
+                return h[0][0], h[0][1], h[1][1]
+            ehess_j = jax.make_jaxpr(eh)(ex_x, ex_u, th0, ex_i)
+    except Exception:
+        return None
+    for cj in (dyn_j, nco_j, eco_j, djac_j, dvjp_j, ngrad_j, egrad_j,
+               nhess_j, ehess_j):
+        for c in cj.consts:
+            if isinstance(c, jax.core.Tracer):
+                return None
+        if not supports(cj.jaxpr):
+            return None
+    return FusedIterSpec(
+        dyn=dyn_j, ncost=nco_j, ecost=eco_j, dyn_jac=djac_j,
+        dyn_vjp=dvjp_j, ncost_grad=ngrad_j, ecost_grad=egrad_j,
+        nhess=nhess_j, ehess=ehess_j, exact=exact,
+        dyn_orig=dynamics, ncost_orig=node_cost, ecost_orig=edge_cost,
+        horizon=horizon, n=n, m=m)
+
+
+# ---------------------------------------------------------------------------
+# object-array plumbing between tile_interp and the entry-unrolled algebra
+# ---------------------------------------------------------------------------
+
+def _vec_obj(tiles):
+    out = np.empty(len(tiles), dtype=object)
+    for i, t in enumerate(tiles):
+        out[i] = t
+    return out
+
+
+def _scalar_obj(v):
+    out = np.empty((), dtype=object)
+    out[()] = v
+    return out
+
+
+def _calls(cj, *args):
+    """Evaluate a ClosedJaxpr on object-array args; returns the list of
+    outputs (object arrays)."""
+    return eval_jaxpr_tiles(cj.jaxpr, cj.consts, *args)
+
+
+def _as_mat(o):
+    """[r, c] object array -> list-of-lists of tiles."""
+    return [[o[i, j] for j in range(o.shape[1])] for i in range(o.shape[0])]
+
+
+def _as_vec(o):
+    return [o[i] for i in range(o.shape[0])]
+
+
+_TH0 = np.empty((0,), dtype=object)
+
+
+def _t(v):
+    """Coerce a kernel value to a full [8, 128] tile: closure constants of
+    the stage jaxprs fold to SCALAR literals in the tile interpreter
+    (e.g. constant Jacobian entries of a linear system), which cannot be
+    stored to a tile ref directly."""
+    if hasattr(v, "shape") and getattr(v, "shape", ()) == (_SUB, _LANE):
+        return v
+    return jnp.full((_SUB, _LANE), v, jnp.float32)
+
+
+def _store_m(ref, mat):
+    cols = len(mat[0])
+    for i, row in enumerate(mat):
+        for j, v in enumerate(row):
+            ref[0, 0, i * cols + j] = _t(v)
+
+
+def _store_v(ref, vec):
+    for i, v in enumerate(vec):
+        ref[0, 0, i] = _t(v)
+
+
+# ---------------------------------------------------------------------------
+# tiny-matrix algebra on tile scalars (shared with ops/pallas_riccati.py)
+# ---------------------------------------------------------------------------
+
+from .pallas_riccati import (_add, _chol, _cho_solve_mat, _cho_solve_vec,  # noqa: E402
+                             _mat, _matmul, _matvec, _store, _store_vec,
+                             _transpose, _tri_solve_mat, _tri_solve_vec,
+                             _vec)
+from .pallas_ls import _to_tiles as _vtiles, _from_tiles as _vuntiles  # noqa: E402
+
+
+# ---------------------------------------------------------------------------
+# kernel F: fused model-eval + condensation + Riccati backward factor
+# ---------------------------------------------------------------------------
+
+def _read_rows(ref, start, k):
+    blk = ref[pl.ds(start, k)]
+    return [blk[j] for j in range(k)]
+
+
+def _factor_kernel(spec: FusedIterSpec,
+                   x_ref, u_ref, y_ref, r1x_ref, r1u_ref, d_ref,
+                   vc_out, k_out, g_out, fc_out, a_out, b_out, vroot_out,
+                   v_scr):
+    """One backward grid step t (edge e = T-1-t): evaluate the stage
+    derivatives at (x_e, u_e), condense with r1/delta, run the Riccati
+    edge recursion with the cost-to-go carried in VMEM.
+
+    Condensation here is the unconstrained case of the reference's
+    factor() (helpers.cpp:297-354): Q_mod = Hxx + diag(r1_x), R_mod =
+    Huu + diag(r1_u), M_mod = Hxu.  Edge recursion: lqr.cpp:645-731 with
+    uniform scalar delta."""
+    T, n, m = spec.horizon, spec.n, spec.m
+    t = pl.program_id(1)
+    e = T - 1 - t
+
+    d = d_ref[0]                       # scalar delta tile (r2 of dyn rows)
+    ei = _scalar_obj(e.astype(jnp.int32))
+
+    @pl.when(t == 0)
+    def _():
+        # carry init: terminal V = Q_mod[T] (no edge term at the leaf)
+        xT = _vec_obj(_read_rows(x_ref, T * n, n))
+        Ti = _scalar_obj(jnp.asarray(T, jnp.int32))
+        Hn = _as_mat(_calls(spec.nhess, xT, _TH0, Ti)[0])
+        r1T = _read_rows(r1x_ref, T * n, n)
+        for i in range(n):
+            for j in range(n):
+                v_scr[i * n + j] = _t(Hn[i][j]
+                                      + (r1T[i] if i == j else 0.0))
+
+    # ----- stage derivative evaluation (tile-interp of autodiff jaxprs) ----
+    xp = _vec_obj(_read_rows(x_ref, e * n, n))
+    ue = _vec_obj(_read_rows(u_ref, e * m, m))
+    AB = _calls(spec.dyn_jac, xp, ue, _TH0, ei)
+    A = _as_mat(AB[0])
+    B = _as_mat(AB[1])
+    Hn = _as_mat(_calls(spec.nhess, xp, _TH0, ei)[0])
+    if spec.exact:
+        yc = _vec_obj(_read_rows(y_ref, (e + 1) * n, n))
+        Hxx, Hxu, Huu = _calls(spec.ehess, xp, ue, _TH0, ei, yc)
+    else:
+        Hxx, Hxu, Huu = _calls(spec.ehess, xp, ue, _TH0, ei)
+    Hxx, Hxu, Huu = _as_mat(Hxx), _as_mat(Hxu), _as_mat(Huu)
+
+    # ----- condensation --------------------------------------------------
+    r1x = _read_rows(r1x_ref, e * n, n)
+    r1u = _read_rows(r1u_ref, e * m, m)
+    Qp = [[Hn[i][j] + Hxx[i][j] + (r1x[i] if i == j else 0.0)
+           for j in range(n)] for i in range(n)]
+    R = [[Huu[i][j] + (r1u[i] if i == j else 0.0)
+          for j in range(m)] for i in range(m)]
+    M = Hxu
+
+    # ----- Riccati edge step (carry = V_child in v_scr) ------------------
+    Vc = [[v_scr[i * n + j] for j in range(n)] for i in range(n)]
+    one = jnp.ones_like(d)
+    zero = jnp.zeros_like(d)
+    # F = I + sqrt(d) Vc sqrt(d) = I + d*Vc for the IPM's uniform scalar
+    # delta (reference general form: lqr.cpp:487-529)
+    F = [[d * Vc[i][j] + (one if i == j else zero) for j in range(n)]
+         for i in range(n)]
+    Lf = _chol(F)
+
+    if n >= _GRAM_N:
+        # Gram form (see ops/pallas_riccati.py:183-195): never builds
+        # F_inv/W/WA; symmetric outputs from the upper triangle
+        sdi = jax.lax.rsqrt(d)
+        Ah = [[sdi * A[i][j] for j in range(n)] for i in range(n)]
+        Bh = [[sdi * B[i][j] for j in range(m)] for i in range(n)]
+        Za = _tri_solve_mat(Lf, Ah, False)
+        Zb = _tri_solve_mat(Lf, Bh, False)
+        G = [[None] * m for _ in range(m)]
+        for i in range(m):
+            for j in range(i, m):
+                s = R[i][j] if i == j else 0.5 * (R[i][j] + R[j][i])
+                for k in range(n):
+                    s = s + Bh[k][i] * Bh[k][j] - Zb[k][i] * Zb[k][j]
+                G[i][j] = s
+                G[j][i] = s
+        Lg = _chol(G)
+        H = [[M[j][i] + functools.reduce(
+            lambda p, q: p + q,
+            [Bh[k][i] * Ah[k][j] - Zb[k][i] * Za[k][j] for k in range(n)])
+            for j in range(n)] for i in range(m)]
+        Kneg = _cho_solve_mat(Lg, H)
+        K = [[-Kneg[i][j] for j in range(n)] for i in range(m)]
+        Vp = [[None] * n for _ in range(n)]
+        for i in range(n):
+            for j in range(i, n):
+                s = Qp[i][j] if i == j else 0.5 * (Qp[i][j] + Qp[j][i])
+                for k in range(n):
+                    s = s + Ah[k][i] * Ah[k][j] - Za[k][i] * Za[k][j]
+                for k in range(m):
+                    s = s + K[k][i] * H[k][j]
+                Vp[i][j] = s
+                Vp[j][i] = s
+    else:
+        eye = [[one if i == j else zero for j in range(n)]
+               for i in range(n)]
+        F_inv = _cho_solve_mat(Lf, eye)
+        inv_d = 1.0 / d
+        W = [[inv_d * ((one if i == j else zero) - F_inv[i][j])
+              for j in range(n)] for i in range(n)]
+        Bt = _transpose(B)
+        BtW = _matmul(Bt, W)
+        G = _add(R, _matmul(BtW, B))
+        Lg = _chol(G)
+        WA = _matmul(W, A)
+        H = _add(_transpose(M), _matmul(Bt, WA))
+        Kneg = _cho_solve_mat(Lg, H)
+        K = [[-Kneg[i][j] for j in range(n)] for i in range(m)]
+        Vp = _add(Qp, _add(_matmul(_transpose(A), WA),
+                           _matmul(_transpose(K), H)))
+
+    _store_m(vc_out, Vc)        # V of the CHILD node (carry before update)
+    _store_m(k_out, K)
+    _store_m(g_out, Lg)
+    _store_m(fc_out, Lf)
+    _store_m(a_out, A)
+    _store_m(b_out, B)
+    _store_m(vroot_out, Vp)     # t-constant block: final flush = V[root]
+    for i in range(n):
+        for j in range(n):
+            v_scr[i * n + j] = _t(Vp[i][j])
+
+
+# ---------------------------------------------------------------------------
+# solve kernels consuming tiled factor products (reference: lqr.cpp:735-871)
+# ---------------------------------------------------------------------------
+
+def _solve_bwd_kernel(n, m, T,
+                      q_ref, r_ref, c_ref, d_ref,
+                      fc_ref, g_ref, kg_ref, a_ref, b_ref,
+                      k_out, vc_out, vroot_out, v_scr):
+    """Backward vector pass per edge e = T-1-t; carry v in VMEM.  Emits
+    the CHILD's v per edge (carry before update) and the root v as a
+    t-constant block — mirroring _factor_kernel's output convention so
+    the forward kernel reads edge-indexed blocks only."""
+    t = pl.program_id(1)
+    e = T - 1 - t
+    d = d_ref[0]
+
+    @pl.when(t == 0)
+    def _():
+        for i in range(n):
+            v_scr[i] = q_ref[pl.ds(T * n + i, 1)][0]
+
+    v_c = [v_scr[i] for i in range(n)]
+    c_c = _read_rows(c_ref, (e + 1) * n, n)
+    Lf = _mat(fc_ref, n, n)
+    Lg = _mat(g_ref, m, m)
+    Kg = _mat(kg_ref, m, n)
+    A = _mat(a_ref, n, n)
+    B = _mat(b_ref, n, m)
+    r = _read_rows(r_ref, e * m, m)
+    q_p = _read_rows(q_ref, e * n, n)
+
+    sdi = jax.lax.rsqrt(d)
+    f = [d * v_c[i] - c_c[i] for i in range(n)]
+    fh = [sdi * f[i] for i in range(n)]
+    finv_fh = _cho_solve_vec(Lf, fh)
+    Wf = [sdi * (fh[i] - finv_fh[i]) for i in range(n)]
+    g = [v_c[i] - Wf[i] for i in range(n)]
+    h = [r[i] + functools.reduce(lambda p, q: p + q,
+                                 [B[k][i] * g[k] for k in range(n)])
+         for i in range(m)]
+    k_vec = [-x for x in _cho_solve_vec(Lg, h)]
+    Atg = _matvec(_transpose(A), g)
+    Kth = _matvec(_transpose(Kg), h)
+    v_p = [q_p[i] + Atg[i] + Kth[i] for i in range(n)]
+
+    _store_v(k_out, k_vec)
+    for i in range(n):
+        vc_out[0, 0, i] = _t(v_c[i])
+        vroot_out[0, 0, i] = _t(v_p[i])
+        v_scr[i] = _t(v_p[i])
+
+
+def _solve_fwd_kernel(n, m, T,
+                      xr_ref, k_ref, kg_ref, a_ref, b_ref,
+                      c_ref, d_ref, vvec_ref, vmat_ref, fc_ref,
+                      u_out, x_out, y_out, x_scr):
+    """Forward rollout per edge e = t; carry x in VMEM.  All per-edge
+    inputs are edge-indexed tiled blocks (child quantities emitted by the
+    backward kernels)."""
+    t = pl.program_id(1)
+    d = d_ref[0]
+
+    @pl.when(t == 0)
+    def _():
+        for i in range(n):
+            x_scr[i] = xr_ref[0, 0, i]
+
+    x_p = [x_scr[i] for i in range(n)]
+    k_vec = _vec(k_ref, m)
+    Kg = _mat(kg_ref, m, n)
+    A = _mat(a_ref, n, n)
+    B = _mat(b_ref, n, m)
+    c_c = _read_rows(c_ref, (t + 1) * n, n)
+    v_c = _vec(vvec_ref, n)
+    Vc = _mat(vmat_ref, n, n)
+    Lf = _mat(fc_ref, n, n)
+
+    u = [k_vec[i] + _matvec(Kg, x_p)[i] for i in range(m)]
+    Ax = _matvec(A, x_p)
+    Bu = _matvec(B, u)
+    rhs = [c_c[i] - d * v_c[i] + Ax[i] + Bu[i] for i in range(n)]
+    sd = jnp.sqrt(d)
+    sdi = 1.0 / sd
+    x_c_scaled = _cho_solve_vec(Lf, [sdi * rhs[i] for i in range(n)])
+    x_c = [sd * x_c_scaled[i] for i in range(n)]
+    y_c = [v_c[i] + _matvec(Vc, x_c)[i] for i in range(n)]
+
+    _store_v(u_out, u)
+    _store_v(x_out, x_c)
+    _store_v(y_out, y_c)
+    for i in range(n):
+        x_scr[i] = _t(x_c[i])
+
+
+# ---------------------------------------------------------------------------
+# kernel E: fused per-edge residual / gradient evaluation
+# ---------------------------------------------------------------------------
+
+def _eval_kernel(spec: FusedIterSpec,
+                 x_ref, u_ref, y_ref,
+                 gx_out, gu_out, ctx_out, ctu_out, cd_out, f_out, f_scr):
+    """Forward grid step t = edge e: objective contribution, cost
+    gradients, C^T y rows and the dynamics residual for stage e
+    (reference model_callback new_x path, sip_optimal_control.cpp:55-125;
+    C^T structure: helpers.cpp:1161-1250).  Terminal-node and root-row
+    pieces are tiny [B, n] XLA ops outside."""
+    T, n, m = spec.horizon, spec.n, spec.m
+    e = pl.program_id(1)
+    ei = _scalar_obj(e.astype(jnp.int32))
+
+    xp = _vec_obj(_read_rows(x_ref, e * n, n))
+    ue = _vec_obj(_read_rows(u_ref, e * m, m))
+    xc = _read_rows(x_ref, (e + 1) * n, n)
+    ye = _read_rows(y_ref, e * n, n)
+    yc = _vec_obj(_read_rows(y_ref, (e + 1) * n, n))
+
+    gx_n = _as_vec(_calls(spec.ncost_grad, xp, _TH0, ei)[0])
+    ge = _calls(spec.ecost_grad, xp, ue, _TH0, ei)
+    gex, geu = _as_vec(ge[0]), _as_vec(ge[1])
+    vjp = _calls(spec.dyn_vjp, xp, ue, _TH0, ei, yc)
+    aty, bty = _as_vec(vjp[0]), _as_vec(vjp[1])
+    pred = _as_vec(_calls(spec.dyn, xp, ue, _TH0, ei)[0])
+    f_e = (_calls(spec.ncost, xp, _TH0, ei)[0][()]
+           + _calls(spec.ecost, xp, ue, _TH0, ei)[0][()])
+
+    @pl.when(e == 0)
+    def _():
+        f_scr[0] = jnp.zeros_like(f_scr[0])
+
+    f_scr[0] = f_scr[0] + _t(f_e)
+    f_out[0, 0, 0] = f_scr[0]
+
+    for i in range(n):
+        gx_out[0, 0, i] = _t(gx_n[i] + gex[i])
+        ctx_out[0, 0, i] = _t(aty[i] - ye[i])
+        cd_out[0, 0, i] = _t(pred[i] - xc[i])
+    for i in range(m):
+        gu_out[0, 0, i] = _t(geu[i])
+        ctu_out[0, 0, i] = _t(bty[i])
+
+
+# ---------------------------------------------------------------------------
+# batched wrappers (tile plumbing + pallas_call)
+# ---------------------------------------------------------------------------
+
+def _full_vec_spec(rows):
+    # t-independent index map: the whole vector block stays VMEM-resident
+    # across the sequential t grid steps
+    return pl.BlockSpec((1, rows, _SUB, _LANE), lambda b, t: (b, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _edge_bwd_spec(rows, T):
+    return pl.BlockSpec((1, 1, rows, _SUB, _LANE),
+                        lambda b, t: (b, T - 1 - t, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _edge_fwd_spec(rows):
+    return pl.BlockSpec((1, 1, rows, _SUB, _LANE),
+                        lambda b, t: (b, t, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _const_spec(rows):
+    return pl.BlockSpec((1, 1, rows, _SUB, _LANE),
+                        lambda b, t: (b, 0, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _edge_shape(bb, T, rows, dtype):
+    return jax.ShapeDtypeStruct((bb, T, rows, _SUB, _LANE), dtype)
+
+
+def _factor_solve_batched(spec: FusedIterSpec, x, u, y, r1x, r1u, delta,
+                          q, r, c, interpret=False):
+    """The full fused Newton step on a batch: factor kernel -> backward
+    solve kernel -> root solve -> forward rollout kernel, with every
+    stage-block intermediate staying in tile layout.
+
+    Inputs  (standard layout): x [B, N, n], u [B, E, m], y [B, N, n],
+    r1x [B, N, n], r1u [B, E, m], delta [B] (uniform r2 scalar),
+    q [B, N, n], r [B, E, m], c [B, N, n].
+    Returns (dx [B, N, n], du [B, E, m], dy [B, N, n], status [B])."""
+    from ..types import FactorStatus
+
+    T, n, m = spec.horizon, spec.n, spec.m
+    B = x.shape[0]
+    dtype = jnp.float32
+
+    pad = (-B) % _BLK
+    if pad:
+        def pz(a):
+            return jnp.concatenate(
+                [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
+        def po(a):
+            return jnp.concatenate(
+                [a, jnp.ones((pad,) + a.shape[1:], a.dtype)], axis=0)
+        x, u, y, q, r, c = map(pz, (x, u, y, q, r, c))
+        r1x, r1u, delta = po(r1x), po(r1u), po(delta)
+    Bp = B + pad
+    bb = Bp // _BLK
+
+    xt = _vtiles(x.reshape(Bp, -1), (T + 1) * n)
+    ut = _vtiles(u.reshape(Bp, -1), T * m)
+    yt = _vtiles(y.reshape(Bp, -1), (T + 1) * n)
+    r1xt = _vtiles(r1x.reshape(Bp, -1), (T + 1) * n)
+    r1ut = _vtiles(r1u.reshape(Bp, -1), T * m)
+    dt = _vtiles(delta.reshape(Bp, 1), 1)
+    qt = _vtiles(q.reshape(Bp, -1), (T + 1) * n)
+    rt = _vtiles(r.reshape(Bp, -1), T * m)
+    ct = _vtiles(c.reshape(Bp, -1), (T + 1) * n)
+
+    grid = (bb, T)
+    kernel = functools.partial(_factor_kernel, spec)
+
+    def kwrap(*refs):
+        vec_refs = [rf.at[0] for rf in refs[:6]]
+        kernel(*vec_refs, *refs[6:])
+
+    vc_t, k_t, g_t, fc_t, a_t, b_t, vroot_t = pl.pallas_call(
+        kwrap,
+        grid=grid,
+        in_specs=[_full_vec_spec((T + 1) * n), _full_vec_spec(T * m),
+                  _full_vec_spec((T + 1) * n), _full_vec_spec((T + 1) * n),
+                  _full_vec_spec(T * m), _full_vec_spec(1)],
+        out_specs=[_edge_bwd_spec(n * n, T), _edge_bwd_spec(m * n, T),
+                   _edge_bwd_spec(m * m, T), _edge_bwd_spec(n * n, T),
+                   _edge_bwd_spec(n * n, T), _edge_bwd_spec(n * m, T),
+                   _const_spec(n * n)],
+        out_shape=[_edge_shape(bb, T, n * n, dtype),
+                   _edge_shape(bb, T, m * n, dtype),
+                   _edge_shape(bb, T, m * m, dtype),
+                   _edge_shape(bb, T, n * n, dtype),
+                   _edge_shape(bb, T, n * n, dtype),
+                   _edge_shape(bb, T, n * m, dtype),
+                   _edge_shape(bb, 1, n * n, dtype)],
+        scratch_shapes=[pltpu.VMEM((n * n, _SUB, _LANE), dtype)],
+        interpret=interpret,
+    )(xt, ut, yt, r1xt, r1ut, dt)
+
+    # ----- statuses from the tiled Cholesky diagonals ---------------------
+    def diag_ok(tiled, k):
+        dg = tiled[:, :, :: k + 1]          # rows i*(k+1) = diagonal
+        ok = jnp.isfinite(dg) & (dg > 0)
+        return jnp.all(ok, axis=(1, 2))      # [bb, 8, 128]
+
+    f_ok = diag_ok(fc_t, n)
+    g_ok = diag_ok(g_t, m)
+    vroot_fin = jnp.all(jnp.isfinite(vroot_t), axis=(1, 2))
+
+    # ----- backward vector pass ------------------------------------------
+    bwd = functools.partial(_solve_bwd_kernel, n, m, T)
+
+    def bwrap(q_r, r_r, c_r, d_r, *rest):
+        bwd(q_r.at[0], r_r.at[0], c_r.at[0], d_r.at[0], *rest)
+
+    kvec_t, vvec_t, vroot_vec_t = pl.pallas_call(
+        bwrap,
+        grid=grid,
+        in_specs=[_full_vec_spec((T + 1) * n), _full_vec_spec(T * m),
+                  _full_vec_spec((T + 1) * n), _full_vec_spec(1),
+                  _edge_bwd_spec(n * n, T), _edge_bwd_spec(m * m, T),
+                  _edge_bwd_spec(m * n, T), _edge_bwd_spec(n * n, T),
+                  _edge_bwd_spec(n * m, T)],
+        out_specs=[_edge_bwd_spec(m, T), _edge_bwd_spec(n, T),
+                   _const_spec(n)],
+        out_shape=[_edge_shape(bb, T, m, dtype),
+                   _edge_shape(bb, T, n, dtype),
+                   _edge_shape(bb, 1, n, dtype)],
+        scratch_shapes=[pltpu.VMEM((n, _SUB, _LANE), dtype)],
+        interpret=interpret,
+    )(qt, rt, ct, dt, fc_t, g_t, k_t, a_t, b_t)
+
+    # ----- root solve (one stage, plain XLA; reference: lqr.cpp:798-819) --
+    v_root = _vuntiles(vroot_vec_t[:, 0])               # [Bp, n]
+    V_root = _vuntiles(vroot_t[:, 0]).reshape(Bp, n, n)
+    c0 = c[:, 0]
+    d_col = delta[:, None]
+    f_root = d_col * v_root - c0
+    F_root = (jnp.eye(n, dtype=dtype)
+              + d_col[..., None] * V_root)
+    Fr_chol, fr_ok = _chol_ok_xla(F_root)
+    x_root = -_cho_solve_x((Fr_chol, True), f_root[..., None])[..., 0]
+    y_root = v_root + (V_root @ x_root[..., None])[..., 0]
+
+    status = jnp.where(
+        f_ok & g_ok & vroot_fin
+        & _unvec_flag(fr_ok & jnp.all(jnp.isfinite(x_root), axis=-1), bb),
+        FactorStatus.SUCCESS, FactorStatus.F_FACTORIZATION_FAILURE
+    ).astype(jnp.int32)
+    # refine: G failures reported distinctly when F side was fine
+    status = jnp.where((status != 0) & f_ok & ~g_ok,
+                       jnp.int32(FactorStatus.G_FACTORIZATION_FAILURE),
+                       status)
+    status = status.reshape(Bp)
+
+    xr_t = _vtiles(x_root, n)[:, None]                   # [bb, 1, n, 8, 128]
+
+    fwd = functools.partial(_solve_fwd_kernel, n, m, T)
+
+    def fwrap(xr_r, k_r, kg_r, a_r, b_r, c_r, d_r, *rest):
+        fwd(xr_r, k_r, kg_r, a_r, b_r, c_r.at[0], d_r.at[0], *rest)
+
+    u_t, x_t, y_t = pl.pallas_call(
+        fwrap,
+        grid=grid,
+        in_specs=[_const_spec(n), _edge_fwd_spec(m), _edge_fwd_spec(m * n),
+                  _edge_fwd_spec(n * n), _edge_fwd_spec(n * m),
+                  _full_vec_spec((T + 1) * n), _full_vec_spec(1),
+                  _edge_fwd_spec(n), _edge_fwd_spec(n * n),
+                  _edge_fwd_spec(n * n)],
+        out_specs=[_edge_fwd_spec(m), _edge_fwd_spec(n), _edge_fwd_spec(n)],
+        out_shape=[_edge_shape(bb, T, m, dtype),
+                   _edge_shape(bb, T, n, dtype),
+                   _edge_shape(bb, T, n, dtype)],
+        scratch_shapes=[pltpu.VMEM((n, _SUB, _LANE), dtype)],
+        interpret=interpret,
+    )(xr_t, kvec_t, k_t, a_t, b_t, ct, dt, vvec_t, vc_t, fc_t)
+
+    dx = jnp.concatenate(
+        [x_root[:, None], _untile_edges(x_t, n)], axis=1)
+    dy = jnp.concatenate(
+        [y_root[:, None], _untile_edges(y_t, n)], axis=1)
+    du = _untile_edges(u_t, m)
+    if pad:
+        dx, du, dy, status = dx[:B], du[:B], dy[:B], status[:B]
+    return dx, du, dy, status
+
+
+def _untile_edges(t, rows):
+    """[bb, T, rows, 8, 128] -> [B, T, rows]."""
+    bb, T = t.shape[:2]
+    out = jnp.transpose(t, (0, 3, 4, 1, 2))
+    return out.reshape(bb * _BLK, T, rows)
+
+
+def _unvec_flag(flag, bb):
+    """[Bp] bool -> [bb, 8, 128] to combine with tiled flags."""
+    return flag.reshape(bb, _SUB, _LANE)
+
+
+def _chol_ok_xla(a):
+    chol = jnp.linalg.cholesky(a)
+    ok = jnp.all(jnp.isfinite(jnp.diagonal(chol, axis1=-2, axis2=-1)),
+                 axis=-1)
+    return jnp.where(ok[..., None, None], chol,
+                     jnp.eye(a.shape[-1], dtype=a.dtype)), ok
+
+
+def _eval_batched(spec: FusedIterSpec, x, u, y, x0, interpret=False):
+    """Batched kernel E + the tiny terminal/root XLA pieces.
+
+    Returns (f [B], gx [B,N,n], gu [B,E,m], ctx [B,N,n], ctu [B,E,m],
+    cdyn [B,N,n])."""
+    T, n, m = spec.horizon, spec.n, spec.m
+    B = x.shape[0]
+    dtype = jnp.float32
+
+    pad = (-B) % _BLK
+    if pad:
+        def pz(a):
+            return jnp.concatenate(
+                [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
+        x, u, y, x0 = map(pz, (x, u, y, x0))
+    Bp = B + pad
+    bb = Bp // _BLK
+
+    xt = _vtiles(x.reshape(Bp, -1), (T + 1) * n)
+    ut = _vtiles(u.reshape(Bp, -1), T * m)
+    yt = _vtiles(y.reshape(Bp, -1), (T + 1) * n)
+
+    kernel = functools.partial(_eval_kernel, spec)
+
+    def kwrap(x_r, u_r, y_r, *outs):
+        kernel(x_r.at[0], u_r.at[0], y_r.at[0], *outs)
+
+    gx_t, gu_t, ctx_t, ctu_t, cd_t, f_t = pl.pallas_call(
+        kwrap,
+        grid=(bb, T),
+        in_specs=[_full_vec_spec((T + 1) * n), _full_vec_spec(T * m),
+                  _full_vec_spec((T + 1) * n)],
+        out_specs=[_edge_fwd_spec(n), _edge_fwd_spec(m), _edge_fwd_spec(n),
+                   _edge_fwd_spec(m), _edge_fwd_spec(n), _const_spec(1)],
+        out_shape=[_edge_shape(bb, T, n, dtype),
+                   _edge_shape(bb, T, m, dtype),
+                   _edge_shape(bb, T, n, dtype),
+                   _edge_shape(bb, T, m, dtype),
+                   _edge_shape(bb, T, n, dtype),
+                   _edge_shape(bb, 1, 1, dtype)],
+        scratch_shapes=[pltpu.VMEM((1, _SUB, _LANE), dtype)],
+        interpret=interpret,
+    )(xt, ut, yt)
+
+    # terminal node + root row, tiny [B, n] XLA ops on the originals
+    th0 = jnp.zeros((0,), dtype)
+    Ti = jnp.asarray(T, jnp.int32)
+    xT = x[:, T]
+    gT = jax.vmap(lambda xv: jax.grad(spec.ncost_orig, argnums=0)(
+        xv, th0, Ti))(xT)
+    fT = jax.vmap(lambda xv: spec.ncost_orig(xv, th0, Ti))(xT)
+
+    f = _vuntiles(f_t[:, 0])[:, 0] + fT
+    gx = jnp.concatenate([_untile_edges(gx_t, n), gT[:, None]], axis=1)
+    ctx = jnp.concatenate([_untile_edges(ctx_t, n), -y[:, T][:, None]],
+                          axis=1)
+    cdyn = jnp.concatenate([(x0 - x[:, 0])[:, None],
+                            _untile_edges(cd_t, n)], axis=1)
+    gu = _untile_edges(gu_t, m)
+    ctu = _untile_edges(ctu_t, m)
+    if pad:
+        f, gx, gu = f[:B], gx[:B], gu[:B]
+        ctx, ctu, cdyn = ctx[:B], ctu[:B], cdyn[:B]
+    return f, gx, gu, ctx, ctu, cdyn
+
+
+# ---------------------------------------------------------------------------
+# pure-JAX reference implementations (unbatched path, CPU fallback, and
+# the parity oracle for the kernels)
+# ---------------------------------------------------------------------------
+
+def _eval_reference(spec: FusedIterSpec, x, u, y, x0):
+    """Per-scenario pure-JAX equivalent of kernel E (same math as
+    model.py's eval path restricted to the unconstrained chain)."""
+    T, n, m = spec.horizon, spec.n, spec.m
+    th0 = jnp.zeros((0,), x.dtype)
+    ts = jnp.arange(T)
+    xp, xc = x[:-1], x[1:]
+    yc = y[1:]
+
+    pred = jax.vmap(spec.dyn_orig, (0, 0, None, 0))(xp, u, th0, ts)
+    cdyn = jnp.concatenate([(x0 - x[0])[None], pred - xc], axis=0)
+    f = (jnp.sum(jax.vmap(spec.ncost_orig, (0, None, 0))(
+        x, th0, jnp.arange(T + 1)))
+        + jnp.sum(jax.vmap(spec.ecost_orig, (0, 0, None, 0))(
+            xp, u, th0, ts)))
+    gx = jax.vmap(jax.grad(spec.ncost_orig, argnums=0),
+                  (0, None, 0))(x, th0, jnp.arange(T + 1))
+    ge = jax.vmap(jax.grad(spec.ecost_orig, argnums=(0, 1)),
+                  (0, 0, None, 0))(xp, u, th0, ts)
+    gx = gx.at[:-1].add(ge[0])
+    gu = ge[1]
+    vjp = jax.vmap(
+        lambda xv, uv, i, yv: jax.grad(
+            lambda a, b_: jnp.dot(yv, spec.dyn_orig(a, b_, th0, i)),
+            argnums=(0, 1))(xv, uv), (0, 0, 0, 0))(xp, u, ts, yc)
+    ctx = jnp.concatenate([vjp[0], jnp.zeros((1, n), x.dtype)],
+                          axis=0) - y
+    ctu = vjp[1]
+    return f, gx, gu, ctx, ctu, cdyn
+
+
+def _stage_lqr_data(spec: FusedIterSpec, x, u, y, r1x, r1u, delta, q, r, c):
+    """Per-scenario LQRData via plain autodiff — the reference
+    implementation the fused factor/solve kernels are tested against
+    (identical math to kkt_factor's condensation restricted to the
+    unconstrained chain, helpers.cpp:297-354)."""
+    from .lqr import LQRData
+
+    T, n, m = spec.horizon, spec.n, spec.m
+    th0 = jnp.zeros((0,), x.dtype)
+    ts = jnp.arange(T)
+    xp = x[:-1]
+
+    AB = jax.vmap(jax.jacfwd(spec.dyn_orig, argnums=(0, 1)),
+                  (0, 0, None, 0))(xp, u, th0, ts)
+    Hn = jax.vmap(jax.hessian(spec.ncost_orig, argnums=0),
+                  (0, None, 0))(x, th0, jnp.arange(T + 1))
+    if spec.exact:
+        def elag(xv, uv, i, yv):
+            return (spec.ecost_orig(xv, uv, th0, i)
+                    + jnp.dot(yv, spec.dyn_orig(xv, uv, th0, i)))
+        He = jax.vmap(jax.hessian(elag, argnums=(0, 1)),
+                      (0, 0, 0, 0))(xp, u, ts, y[1:])
+    else:
+        He = jax.vmap(jax.hessian(spec.ecost_orig, argnums=(0, 1)),
+                      (0, 0, None, 0))(xp, u, th0, ts)
+    Q = Hn.at[:-1].add(He[0][0])
+    Q = Q + jax.vmap(jnp.diag)(r1x)
+    R = He[1][1] + jax.vmap(jnp.diag)(r1u)
+    M = He[0][1]
+    dvec = jnp.full((T + 1, n), delta, x.dtype)
+    return LQRData(Q=Q, q=q, c=c, delta=dvec, A=AB[0], B=AB[1], M=M, R=R,
+                   r=r)
+
+
+def _factor_solve_reference(spec: FusedIterSpec, x, u, y, r1x, r1u, delta,
+                            q, r, c):
+    from .lqr import _factor_chain, _solve_chain
+
+    data = _stage_lqr_data(spec, x, u, y, r1x, r1u, delta, q, r, c)
+    fact = _factor_chain(data)
+    sol = _solve_chain(data, fact)
+    return sol.x, sol.u, sol.y, fact.status
+
+
+# ---------------------------------------------------------------------------
+# custom_vmap entry points
+# ---------------------------------------------------------------------------
+
+def make_fused_eval(spec: FusedIterSpec):
+    @custom_vmap
+    def fused_eval(x, u, y, x0):
+        return _eval_reference(spec, x, u, y, x0)
+
+    @fused_eval.def_vmap
+    def _rule(axis_size, in_batched, x, u, y, x0):
+        def bcast(a, b):
+            return a if b else jnp.broadcast_to(a, (axis_size,) + a.shape)
+        x, u, y, x0 = map(bcast, (x, u, y, x0), in_batched)
+        if x.dtype != jnp.float32 or axis_size < 2 or not _use_kernels():
+            out = jax.vmap(lambda *a: _eval_reference(spec, *a))(x, u, y,
+                                                                 x0)
+        else:
+            out = _eval_batched(spec, x, u, y, x0,
+                                interpret=_interpret())
+        return out, (True,) * 6
+
+    return fused_eval
+
+
+def make_fused_factor_solve(spec: FusedIterSpec):
+    @custom_vmap
+    def fused_factor_solve(x, u, y, r1x, r1u, delta, q, r, c):
+        return _factor_solve_reference(spec, x, u, y, r1x, r1u, delta,
+                                       q, r, c)
+
+    @fused_factor_solve.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        def bcast(a, b):
+            return a if b else jnp.broadcast_to(a, (axis_size,) + a.shape)
+        args = tuple(map(bcast, args, in_batched))
+        if (args[0].dtype != jnp.float32 or axis_size < 2
+                or not _use_kernels()):
+            out = jax.vmap(
+                lambda *a: _factor_solve_reference(spec, *a))(*args)
+        else:
+            out = _factor_solve_batched(spec, *args,
+                                        interpret=_interpret())
+        return out, (True,) * 4
+
+    return fused_factor_solve

@@ -147,6 +147,43 @@ def _select_n(eqn, which, *cases):
                                                  *[_obj(c) for c in cases])
 
 
+def _split(eqn, a):
+    a = _obj(a)
+    sizes = eqn.params["sizes"]
+    axis = eqn.params["axis"]
+    outs, off = [], 0
+    for s in sizes:
+        sl = [slice(None)] * a.ndim
+        sl[axis] = slice(off, off + s)
+        outs.append(a[tuple(sl)])
+        off += s
+    return tuple(outs)
+
+
+def _pad(eqn, a, pv):
+    """lax.pad with arbitrary low/high/interior config (appears in
+    autodiff transposes of slice/concatenate)."""
+    a = _obj(a)
+    pval = _obj(pv)[()]
+    cfg = eqn.params["padding_config"]
+    lo0 = [max(lo, 0) for lo, _, _ in cfg]
+    hi0 = [max(hi, 0) for _, hi, _ in cfg]
+    shape = []
+    for s, (lo, hi, inter) in zip(a.shape, cfg):
+        core = s + (s - 1) * inter if s > 0 else 0
+        shape.append(core + lo0[len(shape)] + hi0[len(shape)])
+    out = np.empty(tuple(shape), dtype=object)
+    out[...] = pval
+    place = tuple(
+        slice(l0, l0 + (s + (s - 1) * inter if s > 0 else 0), inter + 1)
+        for s, l0, (_, _, inter) in zip(a.shape, lo0, cfg))
+    out[place] = a
+    # negative lo/hi crop the result
+    crop = tuple(slice(-min(lo, 0), d - (-min(hi, 0)))
+                 for d, (lo, hi, _) in zip(out.shape, cfg))
+    return out[crop]
+
+
 def _iota(eqn):
     shape = eqn.params["shape"]
     d = eqn.params["dimension"]
@@ -166,6 +203,9 @@ def _call_rule(eqn, *args):
 
 _RULES = {
     "add": _binary(lambda a, b: a + b),
+    "add_any": _binary(lambda a, b: a + b),
+    "split": _split,
+    "pad": _pad,
     "sub": _binary(lambda a, b: a - b),
     "mul": _binary(lambda a, b: a * b),
     "div": _binary(lambda a, b: a / b),
