@@ -649,6 +649,11 @@ def main():
                         help="1 (default): fused Pallas line-search probe "
                         "(ops/pallas_ls.py) when the model is eligible "
                         "(chain, f32, box bounds); 0: standard XLA probe")
+    parser.add_argument("--fused-iter", type=int, default=1,
+                        help="1 (default): whole-iteration fusion (model "
+                        "eval + condensation + Riccati as one Pallas "
+                        "kernel chain, solver/fused_chain.py) when the "
+                        "model is eligible; 0: standard iteration")
     parser.add_argument("--batch-axis", choices=["lead", "minor"],
                         default="lead",
                         help="scenario-batch vmap axis inside the MPC "
@@ -724,7 +729,8 @@ def main():
     if args.mode != "mpc":
         args.rti = None         # RTI is a warm-re-solve (mpc-mode) concept
     f32 = dict(tol=args.tol, mu_min=1e-5, reg_floor=1e-5, prox_reg=1e-5,
-               riccati_backend=args.backend)
+               riccati_backend=args.backend,
+               fused_iteration=bool(args.fused_iter))
     warm_only = {}
     if args.factor_retries is None and args.rti is not None \
             and args.rti > 0 and args.mode == "mpc":

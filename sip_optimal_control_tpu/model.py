@@ -331,6 +331,7 @@ def build_problem(spec: ModelSpec, dims: Dimensions, topology: Topology,
     # that are constant across stages (so the kernel can bake them as
     # trace-time scalars).  Traced (non-concrete) bounds -> ineligible.
     fused_ls = None
+    fused_iter = None
     if (topology.is_chain and uniform and p == 0
             and spec.node_eq is None and spec.node_ineq is None
             and spec.edge_eq is None and spec.edge_ineq is None
@@ -352,9 +353,21 @@ def build_problem(spec: ModelSpec, dims: Dimensions, topology: Topology,
                 fused_ls = (fspec,
                             (lo_u[0], up_u[0], lo_x[0], up_x[0]),
                             initial_state)
+            if fspec is not None:
+                # whole-iteration fusion (same class; additionally needs
+                # the derivative jaxprs to be tile-interpretable)
+                from .ops.fused_iter import build_fused_iter_spec
+                ispec = build_fused_iter_spec(
+                    spec.dynamics, node_cost, edge_cost, E, n, m,
+                    hessian_mode)
+                if ispec is not None:
+                    fused_iter = (ispec,
+                                  (lo_u[0], up_u[0], lo_x[0], up_x[0]),
+                                  initial_state)
 
     return OCProblem(dims=dims, sched=sched, masks=masks,
                      eval_model=eval_model, eval_fcg=eval_fcg,
                      lower=lower, upper=upper, scale_dual=scale_dual,
                      scale_equality=scale_equality, scale_bound=scale_bound,
-                     default_init=default_init, fused_ls=fused_ls)
+                     default_init=default_init, fused_ls=fused_ls,
+                     fused_iter=fused_iter)

@@ -47,8 +47,6 @@ import numpy as np
 from jax.custom_batching import custom_vmap
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-from jax.scipy.linalg import cho_solve as _cho_solve_x
-
 from .tile_interp import eval_jaxpr_tiles, supports
 
 _SUB, _LANE = 8, 128
@@ -197,7 +195,9 @@ def _t(v):
     (e.g. constant Jacobian entries of a linear system), which cannot be
     stored to a tile ref directly."""
     if hasattr(v, "shape") and getattr(v, "shape", ()) == (_SUB, _LANE):
-        return v
+        # jaxpr results keep their traced dtype (f64 when the model's
+        # closure constants were built under an x64 test env); refs are f32
+        return v if v.dtype == jnp.float32 else v.astype(jnp.float32)
     return jnp.full((_SUB, _LANE), v, jnp.float32)
 
 
@@ -222,24 +222,25 @@ from .pallas_riccati import (_add, _chol, _cho_solve_mat, _cho_solve_vec,  # noq
                              _transpose, _tri_solve_mat, _tri_solve_vec,
                              _vec)
 from .pallas_ls import _to_tiles as _vtiles, _from_tiles as _vuntiles  # noqa: E402
+from .pallas_riccati import _to_tiles as _stiles  # noqa: E402  [B,S,rows] form
 
 
 # ---------------------------------------------------------------------------
 # kernel F: fused model-eval + condensation + Riccati backward factor
 # ---------------------------------------------------------------------------
 
-def _read_rows(ref, start, k):
-    blk = ref[pl.ds(start, k)]
-    return [blk[j] for j in range(k)]
-
-
 def _factor_kernel(spec: FusedIterSpec,
-                   x_ref, u_ref, y_ref, r1x_ref, r1u_ref, d_ref,
+                   qt_ref, x_ref, u_ref, y_ref, r1x_ref, r1u_ref, d_ref,
                    vc_out, k_out, g_out, fc_out, a_out, b_out, vroot_out,
                    v_scr):
     """One backward grid step t (edge e = T-1-t): evaluate the stage
     derivatives at (x_e, u_e), condense with r1/delta, run the Riccati
     edge recursion with the cost-to-go carried in VMEM.
+
+    All per-stage operands arrive as index-mapped blocks (static in-kernel
+    addressing — dynamic VMEM slices measured ~5x slower per grid step);
+    the terminal Q_mod[T] carry init is precomputed outside and arrives
+    via qt_ref.
 
     Condensation here is the unconstrained case of the reference's
     factor() (helpers.cpp:297-354): Q_mod = Hxx + diag(r1_x), R_mod =
@@ -249,38 +250,32 @@ def _factor_kernel(spec: FusedIterSpec,
     t = pl.program_id(1)
     e = T - 1 - t
 
-    d = d_ref[0]                       # scalar delta tile (r2 of dyn rows)
+    d = d_ref[0, 0, 0]                 # scalar delta tile (r2 of dyn rows)
     ei = _scalar_obj(e.astype(jnp.int32))
 
     @pl.when(t == 0)
     def _():
         # carry init: terminal V = Q_mod[T] (no edge term at the leaf)
-        xT = _vec_obj(_read_rows(x_ref, T * n, n))
-        Ti = _scalar_obj(jnp.asarray(T, jnp.int32))
-        Hn = _as_mat(_calls(spec.nhess, xT, _TH0, Ti)[0])
-        r1T = _read_rows(r1x_ref, T * n, n)
-        for i in range(n):
-            for j in range(n):
-                v_scr[i * n + j] = _t(Hn[i][j]
-                                      + (r1T[i] if i == j else 0.0))
+        for i in range(n * n):
+            v_scr[i] = qt_ref[0, 0, i]
 
     # ----- stage derivative evaluation (tile-interp of autodiff jaxprs) ----
-    xp = _vec_obj(_read_rows(x_ref, e * n, n))
-    ue = _vec_obj(_read_rows(u_ref, e * m, m))
+    xp = _vec_obj(_vec(x_ref, n))
+    ue = _vec_obj(_vec(u_ref, m))
     AB = _calls(spec.dyn_jac, xp, ue, _TH0, ei)
     A = _as_mat(AB[0])
     B = _as_mat(AB[1])
     Hn = _as_mat(_calls(spec.nhess, xp, _TH0, ei)[0])
     if spec.exact:
-        yc = _vec_obj(_read_rows(y_ref, (e + 1) * n, n))
+        yc = _vec_obj(_vec(y_ref, n))
         Hxx, Hxu, Huu = _calls(spec.ehess, xp, ue, _TH0, ei, yc)
     else:
         Hxx, Hxu, Huu = _calls(spec.ehess, xp, ue, _TH0, ei)
     Hxx, Hxu, Huu = _as_mat(Hxx), _as_mat(Hxu), _as_mat(Huu)
 
     # ----- condensation --------------------------------------------------
-    r1x = _read_rows(r1x_ref, e * n, n)
-    r1u = _read_rows(r1u_ref, e * m, m)
+    r1x = _vec(r1x_ref, n)
+    r1u = _vec(r1u_ref, m)
     Qp = [[Hn[i][j] + Hxx[i][j] + (r1x[i] if i == j else 0.0)
            for j in range(n)] for i in range(n)]
     R = [[Huu[i][j] + (r1u[i] if i == j else 0.0)
@@ -365,31 +360,33 @@ def _factor_kernel(spec: FusedIterSpec,
 # ---------------------------------------------------------------------------
 
 def _solve_bwd_kernel(n, m, T,
-                      q_ref, r_ref, c_ref, d_ref,
-                      fc_ref, g_ref, kg_ref, a_ref, b_ref,
-                      k_out, vc_out, vroot_out, v_scr):
+                      qp_ref, qc_ref, r_ref, cc_ref, c0_ref, d_ref,
+                      vr_ref, fc_ref, g_ref, kg_ref, a_ref, b_ref,
+                      k_out, vc_out, xr_out, yr_out, v_scr):
     """Backward vector pass per edge e = T-1-t; carry v in VMEM.  Emits
-    the CHILD's v per edge (carry before update) and the root v as a
-    t-constant block — mirroring _factor_kernel's output convention so
-    the forward kernel reads edge-indexed blocks only."""
+    the CHILD's v per edge (carry before update); at the last step it
+    also performs the ROOT solve in-kernel (reference: lqr.cpp:798-819)
+    — a batched [B, n, n] XLA Cholesky here measured 1.7 ms/trip (the
+    tiny-batched-LAPACK lane-padding poison, cf. r4's W-recovery
+    finding), vs ~n^3/6 tile ops in-kernel.  Per-stage operands are
+    index-mapped blocks (static addressing)."""
     t = pl.program_id(1)
-    e = T - 1 - t
-    d = d_ref[0]
+    d = d_ref[0, 0, 0]
 
     @pl.when(t == 0)
     def _():
         for i in range(n):
-            v_scr[i] = q_ref[pl.ds(T * n + i, 1)][0]
+            v_scr[i] = qc_ref[0, 0, i]      # q at node T-t = T
 
     v_c = [v_scr[i] for i in range(n)]
-    c_c = _read_rows(c_ref, (e + 1) * n, n)
+    c_c = _vec(cc_ref, n)
     Lf = _mat(fc_ref, n, n)
     Lg = _mat(g_ref, m, m)
     Kg = _mat(kg_ref, m, n)
     A = _mat(a_ref, n, n)
     B = _mat(b_ref, n, m)
-    r = _read_rows(r_ref, e * m, m)
-    q_p = _read_rows(q_ref, e * n, n)
+    r = _vec(r_ref, m)
+    q_p = _vec(qp_ref, n)
 
     sdi = jax.lax.rsqrt(d)
     f = [d * v_c[i] - c_c[i] for i in range(n)]
@@ -408,19 +405,35 @@ def _solve_bwd_kernel(n, m, T,
     _store_v(k_out, k_vec)
     for i in range(n):
         vc_out[0, 0, i] = _t(v_c[i])
-        vroot_out[0, 0, i] = _t(v_p[i])
         v_scr[i] = _t(v_p[i])
+
+    @pl.when(t == T - 1)
+    def _():
+        # root: x_0 = -(I + d V_0)^{-1} (d v_0 - c_0); with a scalar delta
+        # the sqrt(d) scalings commute away.  y_0 = v_0 + V_0 x_0.
+        one = jnp.ones_like(d)
+        zero = jnp.zeros_like(d)
+        Vr = _mat(vr_ref, n, n)
+        c0 = _vec(c0_ref, n)
+        Fr = [[d * Vr[i][j] + (one if i == j else zero) for j in range(n)]
+              for i in range(n)]
+        Lfr = _chol(Fr)
+        fr = [d * v_p[i] - c0[i] for i in range(n)]
+        xr = [-v for v in _cho_solve_vec(Lfr, fr)]
+        yr = [v_p[i] + _matvec(Vr, xr)[i] for i in range(n)]
+        _store_v(xr_out, xr)
+        _store_v(yr_out, yr)
 
 
 def _solve_fwd_kernel(n, m, T,
                       xr_ref, k_ref, kg_ref, a_ref, b_ref,
-                      c_ref, d_ref, vvec_ref, vmat_ref, fc_ref,
+                      cc_ref, d_ref, vvec_ref, vmat_ref, fc_ref,
                       u_out, x_out, y_out, x_scr):
     """Forward rollout per edge e = t; carry x in VMEM.  All per-edge
     inputs are edge-indexed tiled blocks (child quantities emitted by the
     backward kernels)."""
     t = pl.program_id(1)
-    d = d_ref[0]
+    d = d_ref[0, 0, 0]
 
     @pl.when(t == 0)
     def _():
@@ -432,7 +445,7 @@ def _solve_fwd_kernel(n, m, T,
     Kg = _mat(kg_ref, m, n)
     A = _mat(a_ref, n, n)
     B = _mat(b_ref, n, m)
-    c_c = _read_rows(c_ref, (t + 1) * n, n)
+    c_c = _vec(cc_ref, n)
     v_c = _vec(vvec_ref, n)
     Vc = _mat(vmat_ref, n, n)
     Lf = _mat(fc_ref, n, n)
@@ -459,22 +472,23 @@ def _solve_fwd_kernel(n, m, T,
 # ---------------------------------------------------------------------------
 
 def _eval_kernel(spec: FusedIterSpec,
-                 x_ref, u_ref, y_ref,
+                 xp_ref, xc_ref, u_ref, ye_ref, yc_ref,
                  gx_out, gu_out, ctx_out, ctu_out, cd_out, f_out, f_scr):
     """Forward grid step t = edge e: objective contribution, cost
     gradients, C^T y rows and the dynamics residual for stage e
     (reference model_callback new_x path, sip_optimal_control.cpp:55-125;
     C^T structure: helpers.cpp:1161-1250).  Terminal-node and root-row
-    pieces are tiny [B, n] XLA ops outside."""
+    pieces are tiny [B, n] XLA ops outside.  Per-stage operands are
+    index-mapped blocks (static addressing)."""
     T, n, m = spec.horizon, spec.n, spec.m
     e = pl.program_id(1)
     ei = _scalar_obj(e.astype(jnp.int32))
 
-    xp = _vec_obj(_read_rows(x_ref, e * n, n))
-    ue = _vec_obj(_read_rows(u_ref, e * m, m))
-    xc = _read_rows(x_ref, (e + 1) * n, n)
-    ye = _read_rows(y_ref, e * n, n)
-    yc = _vec_obj(_read_rows(y_ref, (e + 1) * n, n))
+    xp = _vec_obj(_vec(xp_ref, n))
+    ue = _vec_obj(_vec(u_ref, m))
+    xc = _vec(xc_ref, n)
+    ye = _vec(ye_ref, n)
+    yc = _vec_obj(_vec(yc_ref, n))
 
     gx_n = _as_vec(_calls(spec.ncost_grad, xp, _TH0, ei)[0])
     ge = _calls(spec.ecost_grad, xp, ue, _TH0, ei)
@@ -505,22 +519,30 @@ def _eval_kernel(spec: FusedIterSpec,
 # batched wrappers (tile plumbing + pallas_call)
 # ---------------------------------------------------------------------------
 
-def _full_vec_spec(rows):
-    # t-independent index map: the whole vector block stays VMEM-resident
-    # across the sequential t grid steps
-    return pl.BlockSpec((1, rows, _SUB, _LANE), lambda b, t: (b, 0, 0, 0),
+def _edge_bwd_spec(rows, T):
+    # edge e = T-1-t; on a chain this same map reads node e (the parent)
+    # from a node-indexed [T+1] array
+    return pl.BlockSpec((1, 1, rows, _SUB, _LANE),
+                        lambda b, t: (b, T - 1 - t, 0, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
-def _edge_bwd_spec(rows, T):
+def _child_bwd_spec(rows, T):
+    # child node e+1 = T-t of the backward step's edge
     return pl.BlockSpec((1, 1, rows, _SUB, _LANE),
-                        lambda b, t: (b, T - 1 - t, 0, 0, 0),
+                        lambda b, t: (b, T - t, 0, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
 def _edge_fwd_spec(rows):
     return pl.BlockSpec((1, 1, rows, _SUB, _LANE),
                         lambda b, t: (b, t, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _child_fwd_spec(rows):
+    return pl.BlockSpec((1, 1, rows, _SUB, _LANE),
+                        lambda b, t: (b, t + 1, 0, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
@@ -563,29 +585,35 @@ def _factor_solve_batched(spec: FusedIterSpec, x, u, y, r1x, r1u, delta,
     Bp = B + pad
     bb = Bp // _BLK
 
-    xt = _vtiles(x.reshape(Bp, -1), (T + 1) * n)
-    ut = _vtiles(u.reshape(Bp, -1), T * m)
-    yt = _vtiles(y.reshape(Bp, -1), (T + 1) * n)
-    r1xt = _vtiles(r1x.reshape(Bp, -1), (T + 1) * n)
-    r1ut = _vtiles(r1u.reshape(Bp, -1), T * m)
-    dt = _vtiles(delta.reshape(Bp, 1), 1)
-    qt = _vtiles(q.reshape(Bp, -1), (T + 1) * n)
-    rt = _vtiles(r.reshape(Bp, -1), T * m)
-    ct = _vtiles(c.reshape(Bp, -1), (T + 1) * n)
+    xt = _stiles(x, n)                 # [bb, T+1, n, 8, 128]
+    ut = _stiles(u, m)
+    yt = _stiles(y, n)
+    r1xt = _stiles(r1x, n)
+    r1ut = _stiles(r1u, m)
+    dt = _stiles(delta.reshape(Bp, 1, 1), 1)
+    qt = _stiles(q, n)
+    rt = _stiles(r, m)
+    ct = _stiles(c, n)
+
+    # terminal carry init Q_mod[T] = d2 node_cost / dx2 + diag(r1_x[T]),
+    # precomputed outside (one [B, n, n] XLA op)
+    th0 = jnp.zeros((0,), dtype)
+    Ti = jnp.asarray(T, jnp.int32)
+    HnT = jax.vmap(lambda xv: jax.hessian(spec.ncost_orig, argnums=0)(
+        xv, th0, Ti))(x[:, T]).astype(dtype)
+    QT = HnT + jax.vmap(jnp.diag)(r1x[:, T])
+    qTt = _stiles(QT.reshape(Bp, 1, n * n), n * n)
 
     grid = (bb, T)
     kernel = functools.partial(_factor_kernel, spec)
 
-    def kwrap(*refs):
-        vec_refs = [rf.at[0] for rf in refs[:6]]
-        kernel(*vec_refs, *refs[6:])
-
     vc_t, k_t, g_t, fc_t, a_t, b_t, vroot_t = pl.pallas_call(
-        kwrap,
+        kernel,
         grid=grid,
-        in_specs=[_full_vec_spec((T + 1) * n), _full_vec_spec(T * m),
-                  _full_vec_spec((T + 1) * n), _full_vec_spec((T + 1) * n),
-                  _full_vec_spec(T * m), _full_vec_spec(1)],
+        in_specs=[_const_spec(n * n), _edge_bwd_spec(n, T),
+                  _edge_bwd_spec(m, T), _child_bwd_spec(n, T),
+                  _edge_bwd_spec(n, T), _edge_bwd_spec(m, T),
+                  _const_spec(1)],
         out_specs=[_edge_bwd_spec(n * n, T), _edge_bwd_spec(m * n, T),
                    _edge_bwd_spec(m * m, T), _edge_bwd_spec(n * n, T),
                    _edge_bwd_spec(n * n, T), _edge_bwd_spec(n * m, T),
@@ -599,7 +627,7 @@ def _factor_solve_batched(spec: FusedIterSpec, x, u, y, r1x, r1u, delta,
                    _edge_shape(bb, 1, n * n, dtype)],
         scratch_shapes=[pltpu.VMEM((n * n, _SUB, _LANE), dtype)],
         interpret=interpret,
-    )(xt, ut, yt, r1xt, r1ut, dt)
+    )(qTt, xt, ut, yt, r1xt, r1ut, dt)
 
     # ----- statuses from the tiled Cholesky diagonals ---------------------
     def diag_ok(tiled, k):
@@ -609,46 +637,35 @@ def _factor_solve_batched(spec: FusedIterSpec, x, u, y, r1x, r1u, delta,
 
     f_ok = diag_ok(fc_t, n)
     g_ok = diag_ok(g_t, m)
-    vroot_fin = jnp.all(jnp.isfinite(vroot_t), axis=(1, 2))
 
-    # ----- backward vector pass ------------------------------------------
-    bwd = functools.partial(_solve_bwd_kernel, n, m, T)
-
-    def bwrap(q_r, r_r, c_r, d_r, *rest):
-        bwd(q_r.at[0], r_r.at[0], c_r.at[0], d_r.at[0], *rest)
-
-    kvec_t, vvec_t, vroot_vec_t = pl.pallas_call(
-        bwrap,
+    # ----- backward vector pass (root solve fused at its last step) ------
+    kvec_t, vvec_t, xr_t, yr_t = pl.pallas_call(
+        functools.partial(_solve_bwd_kernel, n, m, T),
         grid=grid,
-        in_specs=[_full_vec_spec((T + 1) * n), _full_vec_spec(T * m),
-                  _full_vec_spec((T + 1) * n), _full_vec_spec(1),
+        in_specs=[_edge_bwd_spec(n, T), _child_bwd_spec(n, T),
+                  _edge_bwd_spec(m, T), _child_bwd_spec(n, T),
+                  _const_spec(n), _const_spec(1), _const_spec(n * n),
                   _edge_bwd_spec(n * n, T), _edge_bwd_spec(m * m, T),
                   _edge_bwd_spec(m * n, T), _edge_bwd_spec(n * n, T),
                   _edge_bwd_spec(n * m, T)],
         out_specs=[_edge_bwd_spec(m, T), _edge_bwd_spec(n, T),
-                   _const_spec(n)],
+                   _const_spec(n), _const_spec(n)],
         out_shape=[_edge_shape(bb, T, m, dtype),
                    _edge_shape(bb, T, n, dtype),
+                   _edge_shape(bb, 1, n, dtype),
                    _edge_shape(bb, 1, n, dtype)],
         scratch_shapes=[pltpu.VMEM((n, _SUB, _LANE), dtype)],
         interpret=interpret,
-    )(qt, rt, ct, dt, fc_t, g_t, k_t, a_t, b_t)
+    )(qt, qt, rt, ct, ct, dt, vroot_t, fc_t, g_t, k_t, a_t, b_t)
 
-    # ----- root solve (one stage, plain XLA; reference: lqr.cpp:798-819) --
-    v_root = _vuntiles(vroot_vec_t[:, 0])               # [Bp, n]
-    V_root = _vuntiles(vroot_t[:, 0]).reshape(Bp, n, n)
-    c0 = c[:, 0]
-    d_col = delta[:, None]
-    f_root = d_col * v_root - c0
-    F_root = (jnp.eye(n, dtype=dtype)
-              + d_col[..., None] * V_root)
-    Fr_chol, fr_ok = _chol_ok_xla(F_root)
-    x_root = -_cho_solve_x((Fr_chol, True), f_root[..., None])[..., 0]
-    y_root = v_root + (V_root @ x_root[..., None])[..., 0]
+    x_root = _vuntiles(xr_t[:, 0])                       # [Bp, n]
+    y_root = _vuntiles(yr_t[:, 0])
 
+    # a failed root Cholesky surfaces as NaN in x_root (negative pivot ->
+    # sqrt -> NaN), so finiteness doubles as the root F status check
     status = jnp.where(
-        f_ok & g_ok & vroot_fin
-        & _unvec_flag(fr_ok & jnp.all(jnp.isfinite(x_root), axis=-1), bb),
+        f_ok & g_ok
+        & _unvec_flag(jnp.all(jnp.isfinite(x_root), axis=-1), bb),
         FactorStatus.SUCCESS, FactorStatus.F_FACTORIZATION_FAILURE
     ).astype(jnp.int32)
     # refine: G failures reported distinctly when F side was fine
@@ -657,19 +674,12 @@ def _factor_solve_batched(spec: FusedIterSpec, x, u, y, r1x, r1u, delta,
                        status)
     status = status.reshape(Bp)
 
-    xr_t = _vtiles(x_root, n)[:, None]                   # [bb, 1, n, 8, 128]
-
-    fwd = functools.partial(_solve_fwd_kernel, n, m, T)
-
-    def fwrap(xr_r, k_r, kg_r, a_r, b_r, c_r, d_r, *rest):
-        fwd(xr_r, k_r, kg_r, a_r, b_r, c_r.at[0], d_r.at[0], *rest)
-
     u_t, x_t, y_t = pl.pallas_call(
-        fwrap,
+        functools.partial(_solve_fwd_kernel, n, m, T),
         grid=grid,
         in_specs=[_const_spec(n), _edge_fwd_spec(m), _edge_fwd_spec(m * n),
                   _edge_fwd_spec(n * n), _edge_fwd_spec(n * m),
-                  _full_vec_spec((T + 1) * n), _full_vec_spec(1),
+                  _child_fwd_spec(n), _const_spec(1),
                   _edge_fwd_spec(n), _edge_fwd_spec(n * n),
                   _edge_fwd_spec(n * n)],
         out_specs=[_edge_fwd_spec(m), _edge_fwd_spec(n), _edge_fwd_spec(n)],
@@ -702,14 +712,6 @@ def _unvec_flag(flag, bb):
     return flag.reshape(bb, _SUB, _LANE)
 
 
-def _chol_ok_xla(a):
-    chol = jnp.linalg.cholesky(a)
-    ok = jnp.all(jnp.isfinite(jnp.diagonal(chol, axis1=-2, axis2=-1)),
-                 axis=-1)
-    return jnp.where(ok[..., None, None], chol,
-                     jnp.eye(a.shape[-1], dtype=a.dtype)), ok
-
-
 def _eval_batched(spec: FusedIterSpec, x, u, y, x0, interpret=False):
     """Batched kernel E + the tiny terminal/root XLA pieces.
 
@@ -728,20 +730,15 @@ def _eval_batched(spec: FusedIterSpec, x, u, y, x0, interpret=False):
     Bp = B + pad
     bb = Bp // _BLK
 
-    xt = _vtiles(x.reshape(Bp, -1), (T + 1) * n)
-    ut = _vtiles(u.reshape(Bp, -1), T * m)
-    yt = _vtiles(y.reshape(Bp, -1), (T + 1) * n)
-
-    kernel = functools.partial(_eval_kernel, spec)
-
-    def kwrap(x_r, u_r, y_r, *outs):
-        kernel(x_r.at[0], u_r.at[0], y_r.at[0], *outs)
+    xt = _stiles(x, n)
+    ut = _stiles(u, m)
+    yt = _stiles(y, n)
 
     gx_t, gu_t, ctx_t, ctu_t, cd_t, f_t = pl.pallas_call(
-        kwrap,
+        functools.partial(_eval_kernel, spec),
         grid=(bb, T),
-        in_specs=[_full_vec_spec((T + 1) * n), _full_vec_spec(T * m),
-                  _full_vec_spec((T + 1) * n)],
+        in_specs=[_edge_fwd_spec(n), _child_fwd_spec(n), _edge_fwd_spec(m),
+                  _edge_fwd_spec(n), _child_fwd_spec(n)],
         out_specs=[_edge_fwd_spec(n), _edge_fwd_spec(m), _edge_fwd_spec(n),
                    _edge_fwd_spec(m), _edge_fwd_spec(n), _const_spec(1)],
         out_shape=[_edge_shape(bb, T, n, dtype),
@@ -752,7 +749,7 @@ def _eval_batched(spec: FusedIterSpec, x, u, y, x0, interpret=False):
                    _edge_shape(bb, 1, 1, dtype)],
         scratch_shapes=[pltpu.VMEM((1, _SUB, _LANE), dtype)],
         interpret=interpret,
-    )(xt, ut, yt)
+    )(xt, xt, ut, yt, yt)
 
     # terminal node + root row, tiny [B, n] XLA ops on the originals
     th0 = jnp.zeros((0,), dtype)
@@ -842,8 +839,11 @@ def _stage_lqr_data(spec: FusedIterSpec, x, u, y, r1x, r1u, delta, q, r, c):
     R = He[1][1] + jax.vmap(jnp.diag)(r1u)
     M = He[0][1]
     dvec = jnp.full((T + 1, n), delta, x.dtype)
-    return LQRData(Q=Q, q=q, c=c, delta=dvec, A=AB[0], B=AB[1], M=M, R=R,
+    data = LQRData(Q=Q, q=q, c=c, delta=dvec, A=AB[0], B=AB[1], M=M, R=R,
                    r=r)
+    # model closure constants built under an x64 env promote the autodiff
+    # blocks to f64; keep the reference path in the iterate's dtype
+    return jax.tree.map(lambda a: a.astype(x.dtype), data)
 
 
 def _factor_solve_reference(spec: FusedIterSpec, x, u, y, r1x, r1u, delta,

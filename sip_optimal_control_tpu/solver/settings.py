@@ -176,5 +176,16 @@ class Settings:
     # (fused TPU kernel for large scenario batches).  Trees always use the
     # level-synchronous recursion.
     riccati_backend: str = "scan"
+    # Whole-iteration fusion (ops/fused_iter.py + solver/fused_chain.py):
+    # model evaluation, condensation and the Riccati factor/solve run as
+    # one Pallas kernel chain, and the solver carries only per-stage
+    # VECTORS between iterations (no [B, T, n, n] stage blocks in the RTI
+    # scan state).  Engages only for the fused-eligible class (chain,
+    # uniform dims, float32, no theta, box bounds only, scalar residual
+    # scalings, no iterative refinement, logging off) — every other
+    # problem/settings combination silently uses the standard path with
+    # identical results.  Per-scenario results match the standard path to
+    # f32 roundoff (kernel summation order differs).
+    fused_iteration: bool = False
     line_search: LineSearchSettings = LineSearchSettings()
     logging: LoggingSettings = LoggingSettings()

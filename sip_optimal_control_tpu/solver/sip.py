@@ -163,6 +163,10 @@ class OCProblem:
     # (FusedLSSpec, bounds, initial_state).  None = always use the
     # standard probe.
     fused_ls: Optional[tuple] = None
+    # Whole-iteration-fusion payload (ops/fused_iter.py): a tuple
+    # (FusedIterSpec, bounds, initial_state) when the problem is eligible
+    # AND Settings.fused_iteration requests the fused solver path.
+    fused_iter: Optional[tuple] = None
 
 
 class SolveResult(NamedTuple):
@@ -360,6 +364,11 @@ def solve(problem: OCProblem, settings: Settings,
     # bf16 matmul passes cap the reachable KKT error on badly-scaled
     # problems (see Settings.matmul_precision).
     with jax.default_matmul_precision(settings.matmul_precision):
+        if settings.fused_iteration:
+            from .fused_chain import _eligible, solve_fused
+            if _eligible(problem, settings, coupled_axes):
+                return solve_fused(problem, settings, init_vars, init_y,
+                                   init_z, init_zl, init_zu)
         return _solve_impl(problem, settings, init_vars, init_y, init_z,
                            init_zl, init_zu, coupled_axes)
 
