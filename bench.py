@@ -330,6 +330,58 @@ def run_scaling(args):
     }))
 
 
+def run_joint_theta(args):
+    """Coupled shared-theta solve throughput on one chip (SURVEY 2.10(c)).
+
+    All `--batch` scenarios form ONE joint NLP sharing a global theta:
+    scalar couplings (merit, residual norms, line search) and the theta
+    Schur complement reduce across the scenario vmap axis inside every
+    IPM iteration, so this measures the *coupled* solve — not data-
+    parallel throughput.  The solution is checked live: theta must be
+    bit-identical on every lane and every scenario SOLVED."""
+    import jax
+    import jax.numpy as jnp
+    from sip_optimal_control_tpu import Settings
+    from sip_optimal_control_tpu.models.shared_theta import \
+        shared_theta_chain
+    from sip_optimal_control_tpu.parallel import solve_joint_theta
+
+    spec, dims, topo, lower, upper = shared_theta_chain(
+        horizon=args.horizon)
+    settings = Settings(max_iterations=args.cold_iters, tol=args.tol,
+                        mu_min=1e-5, reg_floor=1e-5, prox_reg=1e-5)
+    rng = np.random.default_rng(0)
+    S = args.batch
+    x0s = jnp.asarray(
+        rng.standard_normal((S, 2)).astype(np.float32))
+
+    fn = jax.jit(lambda b: solve_joint_theta(
+        spec, dims, topo, b, settings=settings, lower=lower, upper=upper))
+    res = jax.block_until_ready(fn(x0s))
+    times = []
+    for _ in range(5):
+        t0 = time.time()
+        res = jax.block_until_ready(fn(x0s))
+        times.append(time.time() - t0)
+    th = np.asarray(res.vars.theta)
+    statuses = np.asarray(res.status)
+    t_best = min(times)
+    print(json.dumps({
+        "metric": "joint_theta_coupled_scenarios_per_sec_per_chip",
+        "value": round(S / t_best, 1),
+        "unit": "scenarios/s/chip",
+        "vs_baseline": round(S / t_best / 10000.0, 4),
+        "scenarios": S,
+        "horizon": args.horizon,
+        "t_joint_solve_ms": round(t_best * 1e3, 2),
+        "solved_frac": round(float(np.mean(statuses == 0)), 4),
+        "iterations": int(np.max(np.asarray(res.iterations))),
+        "theta": float(th[0, 0]),
+        "theta_replicated_exactly": bool(np.all(th == th[0])),
+        "platform": jax.default_backend(),
+    }))
+
+
 def _scaling_mp_worker(args):
     """One OS process of the multi-process scaling measurement.  Joins the
     2-"host" SPMD program via jax.distributed (the same initialization a
@@ -358,23 +410,41 @@ def _scaling_mp_worker(args):
     from jax.sharding import NamedSharding, PartitionSpec as P
     from sip_optimal_control_tpu import Settings
     from sip_optimal_control_tpu.parallel import (scenario_mesh,
-                                                  solve_batch_sharded)
+                                                  solve_batch_sharded,
+                                                  solve_joint_theta)
 
-    spec, dims, topo, lower, upper, x0 = get_model(args.model, args.horizon)
     settings = Settings(max_iterations=args.cold_iters, tol=args.tol,
                         mu_min=1e-5, reg_floor=1e-5, prox_reg=1e-5)
     mesh = scenario_mesh()          # all global devices, one per process
     B = args.batch * num_procs      # weak scaling: fixed batch per process
     rng = np.random.default_rng(0)  # same seed in every process
-    x0s_np = np.tile(np.asarray(x0, np.float32), (B, 1))
-    x0s_np += 0.05 * rng.standard_normal(x0s_np.shape).astype(np.float32)
+    if args.joint_theta:
+        from sip_optimal_control_tpu.models.shared_theta import \
+            shared_theta_chain
+        spec, dims, topo, lower, upper = shared_theta_chain(
+            horizon=args.horizon)
+        x0s_np = rng.standard_normal((B, 2)).astype(np.float32)
+    else:
+        spec, dims, topo, lower, upper, x0 = get_model(args.model,
+                                                       args.horizon)
+        x0s_np = np.tile(np.asarray(x0, np.float32), (B, 1))
+        x0s_np += 0.05 * rng.standard_normal(
+            x0s_np.shape).astype(np.float32)
     sharding = NamedSharding(mesh, P("scenario"))
     x0s = jax.make_array_from_callback(
         x0s_np.shape, sharding, lambda idx: x0s_np[idx])
 
-    fn = jax.jit(lambda b: solve_batch_sharded(
-        spec, dims, topo, b, settings=settings, mesh=mesh,
-        lower=lower, upper=upper))
+    if args.joint_theta:
+        # ONE coupled NLP: the theta Schur psums cross the process
+        # boundary inside every IPM iteration (SURVEY 2.10(c))
+        fn = jax.jit(lambda b: solve_joint_theta(
+            spec, dims, topo, b, settings=settings, mesh=mesh,
+            lower=lower, upper=upper))
+    else:
+        fn = jax.jit(lambda b: solve_batch_sharded(
+            spec, dims, topo, b, settings=settings, mesh=mesh,
+            lower=lower, upper=upper,
+            stats_collectives=bool(args.stats_collectives)))
     out = jax.block_until_ready(fn(x0s))  # compile + warm
     import resource
     times = []
@@ -390,13 +460,25 @@ def _scaling_mp_worker(args):
     # other workers it is (nearly) pure compute — the DIFFERENCE measures
     # the coordinator overhead directly (VERDICT r3 item 7)
     cpu_s = (cpu1.ru_utime - cpu0.ru_utime) + (cpu1.ru_stime - cpu0.ru_stime)
-    _, statuses, stats = out
+    if args.joint_theta:
+        # SolveResult batch; count SOLVED over this process's shards
+        solved = int(sum(np.sum(np.asarray(s.data) == 0)
+                         for s in out.status.addressable_shards))
+        solved *= num_procs   # statuses identical across lanes by design
+    else:
+        _, statuses, stats = out
+        # addressable shards only (multi-process arrays cannot be
+        # np.asarray'd whole): with stats collectives the value is the
+        # replicated global count; without, it is this process's local
+        # count (reported as-is — the efficiency math never uses it)
+        solved = int(sum(np.sum(np.asarray(s.data))
+                         for s in stats.total_solved.addressable_shards))
     # every process prints; the parent reads each worker's last line
     print(json.dumps({"t_best": min(times),
                       "t_timed_wall": time.time() - wall0,
                       "cpu_s": cpu_s,
                       "proc_id": proc_id,
-                      "solved": int(stats.total_solved),
+                      "solved": solved,
                       "batch": B}), flush=True)
 
 
@@ -511,8 +593,10 @@ def run_scaling_mp(args):
     coord_cpu = max(0.0, cpu_by_proc.get(0, 0.0) - cpu_by_proc.get(1, 0.0))
     denom_frac = max(1e-9, 1.0 - coord_cpu / (2.0 * wall_2))
     eff_compute = eff / denom_frac
+    variant = ("_joint_theta" if args.joint_theta
+               else "" if args.stats_collectives else "_nostats")
     print(json.dumps({
-        "metric": "scaling_efficiency_2proc_pinned",
+        "metric": "scaling_efficiency_2proc_pinned" + variant,
         "value": round(eff, 4),
         "unit": "ratio",
         "vs_baseline": round(eff / 0.80, 4),
@@ -548,8 +632,19 @@ def main():
                         "start_tree)")
     parser.add_argument("--mode",
                         choices=["mpc", "cold", "latency", "scaling",
-                                 "scaling-mp"],
+                                 "scaling-mp", "joint-theta"],
                         default="mpc")
+    parser.add_argument("--joint-theta", type=int, default=0,
+                        help="scaling-mp only: 1 = the workers solve ONE "
+                        "coupled NLP sharing a global theta across all "
+                        "processes (theta-Schur psums cross the process "
+                        "boundary inside every IPM iteration) instead of "
+                        "independent per-scenario solves")
+    parser.add_argument("--stats-collectives", type=int, default=1,
+                        help="scaling-mp only: 0 = drop the per-dispatch "
+                        "psum/pmax/pmean metric aggregates from the "
+                        "compiled program (pure-DP joined scaling; "
+                        "VERDICT r4 weak #2)")
     parser.add_argument("--warm-iters", type=int, default=16)
     parser.add_argument("--warm-mu", type=float, default=None,
                         help="barrier restart for warm-started re-solves "
@@ -672,6 +767,10 @@ def main():
             _scaling_mp_worker(args)
         else:
             run_scaling_mp(args)
+        return
+
+    if args.mode == "joint-theta":
+        run_joint_theta(args)
         return
 
     _T0 = time.time()
