@@ -744,6 +744,16 @@ def main():
                         help="1 (default): fused Pallas line-search probe "
                         "(ops/pallas_ls.py) when the model is eligible "
                         "(chain, f32, box bounds); 0: standard XLA probe")
+    parser.add_argument("--freeze-ev", type=int, default=None,
+                        help="0: exclude the carried ModelEval from the "
+                        "RTI freeze-select (Settings.rti_freeze_ev). "
+                        "Model default: 0 for robust_tree (the select "
+                        "over its StageModelData was ~60%% of every trip "
+                        "on the non-fused tree path: 231.2k -> 606.5k "
+                        "solves/s at identical quality), 1 elsewhere "
+                        "(cartpole measured a ~27%% REGRESSION from the "
+                        "r3 variant of this; the fused path has no "
+                        "ModelEval in its carry at all)")
     parser.add_argument("--fused-iter", type=int, default=1,
                         help="1 (default): whole-iteration fusion (model "
                         "eval + condensation + Riccati as one Pallas "
@@ -827,9 +837,12 @@ def main():
         args.rti = None         # --rti 0: classic while-loop mode
     if args.mode != "mpc":
         args.rti = None         # RTI is a warm-re-solve (mpc-mode) concept
+    if args.freeze_ev is None:
+        args.freeze_ev = 0 if args.model == "robust_tree" else 1
     f32 = dict(tol=args.tol, mu_min=1e-5, reg_floor=1e-5, prox_reg=1e-5,
                riccati_backend=args.backend,
-               fused_iteration=bool(args.fused_iter))
+               fused_iteration=bool(args.fused_iter),
+               rti_freeze_ev=bool(args.freeze_ev))
     warm_only = {}
     if args.factor_retries is None and args.rti is not None \
             and args.rti > 0 and args.mode == "mpc":

@@ -644,10 +644,22 @@ def use_level_scan(sched: TopologySchedule) -> bool:
     """Heuristic: scan when the tree is deep and the per-level padding waste
     is bounded (e.g. path-shaped trees).  Wide shallow trees (scenario
     fans, binary trees) keep the unrolled loop, whose total work is exactly
-    the node count."""
+    the node count.
+
+    Escape hatch: SOC_LEVEL_SCAN=0/1 overrides the heuristic (measurement
+    and tuning aid; tests pin both backends' parity on shapes straddling
+    the threshold)."""
+    import os
+    env = os.environ.get("SOC_LEVEL_SCAN")
+    if env in ("0", "1"):
+        return env == "1"
     L, W = sched.num_levels, sched.max_level_width
     N = len(sched.depth)
-    return L > 16 and L * W <= 4 * max(N, 1)
+    # L > 8: the r5 TPU measurement moved the threshold down — the
+    # scenario-fan robust-MPC tree (L=14, W=4) runs 1.23x faster under
+    # the scan (232.3k vs 189.2k solves/s/chip end to end); depth-<=4
+    # fans/binary trees keep the unrolled loop
+    return L > 8 and L * W <= 4 * max(N, 1)
 
 
 def _factor_tree_scan(data: LQRData,

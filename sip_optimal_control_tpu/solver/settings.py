@@ -187,5 +187,16 @@ class Settings:
     # identical results.  Per-scenario results match the standard path to
     # f32 roundoff (kernel summation order differs).
     fused_iteration: bool = False
+    # Fixed-trip mode only: include the carried model evaluation in the
+    # per-trip freeze-select (the default, exactly equal to the
+    # while_loop's vmap semantics).  False excludes it: frozen lanes'
+    # iterates/duals/statuses/kkt_error still freeze exactly, but the
+    # carried ev keeps advancing, so SolveResult.f on a lane frozen
+    # before the last trip reports a post-freeze iterate's objective.
+    # Exists because the select over StageModelData blocks is pure HBM
+    # traffic on the standard (non-fused) path; measured: cartpole
+    # REGRESSED ~27% with the r3 variant of this (kept the default), the
+    # tree workload is where it could pay (r5 re-measure).
+    rti_freeze_ev: bool = True
     line_search: LineSearchSettings = LineSearchSettings()
     logging: LoggingSettings = LoggingSettings()

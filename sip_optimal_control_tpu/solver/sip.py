@@ -1073,7 +1073,17 @@ def _solve_impl(problem: OCProblem, settings: Settings,
         def scan_body(st, _):
             new = body(st)
             keep = cond(st)
+            if not settings.rti_freeze_ev:
+                # exclude the (large) carried ModelEval from the freeze
+                # select: frozen lanes keep their iterate/duals/statuses
+                # (selected below) but carry a post-freeze ev — harmless
+                # for every consumed output except SolveResult.f on
+                # frozen lanes (see Settings.rti_freeze_ev)
+                ev_n = new.ev
+                new = new._replace(ev=st.ev)
             st_n = _tmap(lambda a, b: jnp.where(keep, a, b), new, st)
+            if not settings.rti_freeze_ev:
+                st_n = st_n._replace(ev=ev_n)
             return st_n, None
 
         final, _ = lax.scan(scan_body, state0, None,
