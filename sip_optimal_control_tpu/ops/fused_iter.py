@@ -347,8 +347,9 @@ def _factor_kernel(spec: FusedIterSpec,
     _store_m(k_out, K)
     _store_m(g_out, Lg)
     _store_m(fc_out, Lf)
-    _store_m(a_out, A)
-    _store_m(b_out, B)
+    if a_out is not None:       # large-n path recomputes A/B in the solve
+        _store_m(a_out, A)      # kernels instead of streaming them
+        _store_m(b_out, B)
     _store_m(vroot_out, Vp)     # t-constant block: final flush = V[root]
     for i in range(n):
         for j in range(n):
@@ -359,7 +360,7 @@ def _factor_kernel(spec: FusedIterSpec,
 # solve kernels consuming tiled factor products (reference: lqr.cpp:735-871)
 # ---------------------------------------------------------------------------
 
-def _solve_bwd_kernel(n, m, T,
+def _solve_bwd_kernel(n, m, T, spec,
                       qp_ref, qc_ref, r_ref, cc_ref, c0_ref, d_ref,
                       vr_ref, fc_ref, g_ref, kg_ref, a_ref, b_ref,
                       k_out, vc_out, xr_out, yr_out, v_scr):
@@ -383,8 +384,19 @@ def _solve_bwd_kernel(n, m, T,
     Lf = _mat(fc_ref, n, n)
     Lg = _mat(g_ref, m, m)
     Kg = _mat(kg_ref, m, n)
-    A = _mat(a_ref, n, n)
-    B = _mat(b_ref, n, m)
+    if spec is None:
+        A = _mat(a_ref, n, n)
+        B = _mat(b_ref, n, m)
+    else:
+        # recompute the dynamics Jacobians in-kernel instead of streaming
+        # them from HBM (engaged for the large-n models, whose A/B blocks
+        # fold mostly to constants and whose streams dominate the trip);
+        # a_ref/b_ref carry the stage iterate (x_e, u_e) instead
+        e = T - 1 - t
+        AB = _calls(spec.dyn_jac, _vec_obj(_vec(a_ref, n)),
+                    _vec_obj(_vec(b_ref, m)), _TH0,
+                    _scalar_obj(e.astype(jnp.int32)))
+        A, B = _as_mat(AB[0]), _as_mat(AB[1])
     r = _vec(r_ref, m)
     q_p = _vec(qp_ref, n)
 
@@ -425,7 +437,7 @@ def _solve_bwd_kernel(n, m, T,
         _store_v(yr_out, yr)
 
 
-def _solve_fwd_kernel(n, m, T,
+def _solve_fwd_kernel(n, m, T, spec,
                       xr_ref, k_ref, kg_ref, a_ref, b_ref,
                       cc_ref, d_ref, vvec_ref, vmat_ref, fc_ref,
                       u_out, x_out, y_out, x_scr):
@@ -443,8 +455,16 @@ def _solve_fwd_kernel(n, m, T,
     x_p = [x_scr[i] for i in range(n)]
     k_vec = _vec(k_ref, m)
     Kg = _mat(kg_ref, m, n)
-    A = _mat(a_ref, n, n)
-    B = _mat(b_ref, n, m)
+    if spec is None:
+        A = _mat(a_ref, n, n)
+        B = _mat(b_ref, n, m)
+    else:
+        # in-kernel Jacobian recompute (see _solve_bwd_kernel); a_ref/
+        # b_ref carry (x_e, u_e) for edge e = t
+        AB = _calls(spec.dyn_jac, _vec_obj(_vec(a_ref, n)),
+                    _vec_obj(_vec(b_ref, m)), _TH0,
+                    _scalar_obj(t.astype(jnp.int32)))
+        A, B = _as_mat(AB[0]), _as_mat(AB[1])
     c_c = _vec(cc_ref, n)
     v_c = _vec(vvec_ref, n)
     Vc = _mat(vmat_ref, n, n)
@@ -605,29 +625,58 @@ def _factor_solve_batched(spec: FusedIterSpec, x, u, y, r1x, r1u, delta,
     qTt = _stiles(QT.reshape(Bp, 1, n * n), n * n)
 
     grid = (bb, T)
-    kernel = functools.partial(_factor_kernel, spec)
+    # Large-n models: never materialize A/B — the factor kernel skips the
+    # two output streams and the solve kernels recompute the Jacobians
+    # in-kernel from (x, u) (their entries mostly constant-fold for the
+    # benchmark class; the streams were ~35% of chain16's HBM traffic).
+    recompute_ab = n >= _GRAM_N
+    base_outs = [_edge_bwd_spec(n * n, T), _edge_bwd_spec(m * n, T),
+                 _edge_bwd_spec(m * m, T), _edge_bwd_spec(n * n, T)]
+    base_shapes = [_edge_shape(bb, T, n * n, dtype),
+                   _edge_shape(bb, T, m * n, dtype),
+                   _edge_shape(bb, T, m * m, dtype),
+                   _edge_shape(bb, T, n * n, dtype)]
+    if recompute_ab:
+        def kernel(*refs):
+            ins, outs = refs[:7], refs[7:]
+            _factor_kernel(spec, *ins, *outs[:4], None, None, *outs[4:])
+        ab_outs, ab_shapes = [], []
+    else:
+        kernel = functools.partial(_factor_kernel, spec)
+        ab_outs = [_edge_bwd_spec(n * n, T), _edge_bwd_spec(n * m, T)]
+        ab_shapes = [_edge_shape(bb, T, n * n, dtype),
+                     _edge_shape(bb, T, n * m, dtype)]
 
-    vc_t, k_t, g_t, fc_t, a_t, b_t, vroot_t = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[_const_spec(n * n), _edge_bwd_spec(n, T),
                   _edge_bwd_spec(m, T), _child_bwd_spec(n, T),
                   _edge_bwd_spec(n, T), _edge_bwd_spec(m, T),
                   _const_spec(1)],
-        out_specs=[_edge_bwd_spec(n * n, T), _edge_bwd_spec(m * n, T),
-                   _edge_bwd_spec(m * m, T), _edge_bwd_spec(n * n, T),
-                   _edge_bwd_spec(n * n, T), _edge_bwd_spec(n * m, T),
-                   _const_spec(n * n)],
-        out_shape=[_edge_shape(bb, T, n * n, dtype),
-                   _edge_shape(bb, T, m * n, dtype),
-                   _edge_shape(bb, T, m * m, dtype),
-                   _edge_shape(bb, T, n * n, dtype),
-                   _edge_shape(bb, T, n * n, dtype),
-                   _edge_shape(bb, T, n * m, dtype),
-                   _edge_shape(bb, 1, n * n, dtype)],
+        out_specs=base_outs + ab_outs + [_const_spec(n * n)],
+        out_shape=base_shapes + ab_shapes
+        + [_edge_shape(bb, 1, n * n, dtype)],
         scratch_shapes=[pltpu.VMEM((n * n, _SUB, _LANE), dtype)],
         interpret=interpret,
     )(qTt, xt, ut, yt, r1xt, r1ut, dt)
+    vc_t, k_t, g_t, fc_t = outs[:4]
+    vroot_t = outs[-1]
+    if recompute_ab:
+        # the solve kernels take the stage iterate where A/B blocks went
+        a_bwd, b_bwd = xt, ut            # read via the same edge specs
+        a_spec_bwd = _edge_bwd_spec(n, T)
+        b_spec_bwd = _edge_bwd_spec(m, T)
+        a_fwd_spec = _edge_fwd_spec(n)
+        b_fwd_spec = _edge_fwd_spec(m)
+        solve_spec = spec
+    else:
+        a_bwd, b_bwd = outs[4], outs[5]
+        a_spec_bwd = _edge_bwd_spec(n * n, T)
+        b_spec_bwd = _edge_bwd_spec(n * m, T)
+        a_fwd_spec = _edge_fwd_spec(n * n)
+        b_fwd_spec = _edge_fwd_spec(n * m)
+        solve_spec = None
 
     # ----- statuses from the tiled Cholesky diagonals ---------------------
     def diag_ok(tiled, k):
@@ -640,14 +689,13 @@ def _factor_solve_batched(spec: FusedIterSpec, x, u, y, r1x, r1u, delta,
 
     # ----- backward vector pass (root solve fused at its last step) ------
     kvec_t, vvec_t, xr_t, yr_t = pl.pallas_call(
-        functools.partial(_solve_bwd_kernel, n, m, T),
+        functools.partial(_solve_bwd_kernel, n, m, T, solve_spec),
         grid=grid,
         in_specs=[_edge_bwd_spec(n, T), _child_bwd_spec(n, T),
                   _edge_bwd_spec(m, T), _child_bwd_spec(n, T),
                   _const_spec(n), _const_spec(1), _const_spec(n * n),
                   _edge_bwd_spec(n * n, T), _edge_bwd_spec(m * m, T),
-                  _edge_bwd_spec(m * n, T), _edge_bwd_spec(n * n, T),
-                  _edge_bwd_spec(n * m, T)],
+                  _edge_bwd_spec(m * n, T), a_spec_bwd, b_spec_bwd],
         out_specs=[_edge_bwd_spec(m, T), _edge_bwd_spec(n, T),
                    _const_spec(n), _const_spec(n)],
         out_shape=[_edge_shape(bb, T, m, dtype),
@@ -656,7 +704,7 @@ def _factor_solve_batched(spec: FusedIterSpec, x, u, y, r1x, r1u, delta,
                    _edge_shape(bb, 1, n, dtype)],
         scratch_shapes=[pltpu.VMEM((n, _SUB, _LANE), dtype)],
         interpret=interpret,
-    )(qt, qt, rt, ct, ct, dt, vroot_t, fc_t, g_t, k_t, a_t, b_t)
+    )(qt, qt, rt, ct, ct, dt, vroot_t, fc_t, g_t, k_t, a_bwd, b_bwd)
 
     x_root = _vuntiles(xr_t[:, 0])                       # [Bp, n]
     y_root = _vuntiles(yr_t[:, 0])
@@ -675,10 +723,10 @@ def _factor_solve_batched(spec: FusedIterSpec, x, u, y, r1x, r1u, delta,
     status = status.reshape(Bp)
 
     u_t, x_t, y_t = pl.pallas_call(
-        functools.partial(_solve_fwd_kernel, n, m, T),
+        functools.partial(_solve_fwd_kernel, n, m, T, solve_spec),
         grid=grid,
         in_specs=[_const_spec(n), _edge_fwd_spec(m), _edge_fwd_spec(m * n),
-                  _edge_fwd_spec(n * n), _edge_fwd_spec(n * m),
+                  a_fwd_spec, b_fwd_spec,
                   _child_fwd_spec(n), _const_spec(1),
                   _edge_fwd_spec(n), _edge_fwd_spec(n * n),
                   _edge_fwd_spec(n * n)],
@@ -688,7 +736,7 @@ def _factor_solve_batched(spec: FusedIterSpec, x, u, y, r1x, r1u, delta,
                    _edge_shape(bb, T, n, dtype)],
         scratch_shapes=[pltpu.VMEM((n, _SUB, _LANE), dtype)],
         interpret=interpret,
-    )(xr_t, kvec_t, k_t, a_t, b_t, ct, dt, vvec_t, vc_t, fc_t)
+    )(xr_t, kvec_t, k_t, a_bwd, b_bwd, ct, dt, vvec_t, vc_t, fc_t)
 
     dx = jnp.concatenate(
         [x_root[:, None], _untile_edges(x_t, n)], axis=1)
