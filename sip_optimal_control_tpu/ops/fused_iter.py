@@ -491,15 +491,21 @@ def _solve_fwd_kernel(n, m, T, spec,
 # kernel E: fused per-edge residual / gradient evaluation
 # ---------------------------------------------------------------------------
 
-def _eval_kernel(spec: FusedIterSpec,
+def _eval_kernel(spec: FusedIterSpec, lb_u, ub_u, lb_x, ub_x,
                  xp_ref, xc_ref, u_ref, ye_ref, yc_ref,
-                 gx_out, gu_out, ctx_out, ctu_out, cd_out, f_out, f_scr):
+                 zlx_ref, zlu_ref, zux_ref, zuu_ref,
+                 gx_out, gu_out, ctx_out, ctu_out, cd_out, f_out, res_out,
+                 f_scr, r_scr):
     """Forward grid step t = edge e: objective contribution, cost
     gradients, C^T y rows and the dynamics residual for stage e
     (reference model_callback new_x path, sip_optimal_control.cpp:55-125;
-    C^T structure: helpers.cpp:1161-1250).  Terminal-node and root-row
-    pieces are tiny [B, n] XLA ops outside.  Per-stage operands are
-    index-mapped blocks (static addressing)."""
+    C^T structure: helpers.cpp:1161-1250), PLUS the KKT-residual
+    reductions the IPM needs (stationarity/equality inf-norms and the
+    bound-complementarity min/max — emitting min/max of d*z lets the
+    caller evaluate max|d*z - mu| for ANY mu from two scalars).
+    Terminal-node and root-row pieces are tiny [B, n] XLA ops outside.
+    Per-stage operands are index-mapped blocks (static addressing);
+    bounds are trace-time scalars like the LS probe's."""
     T, n, m = spec.horizon, spec.n, spec.m
     e = pl.program_id(1)
     ei = _scalar_obj(e.astype(jnp.int32))
@@ -509,6 +515,10 @@ def _eval_kernel(spec: FusedIterSpec,
     xc = _vec(xc_ref, n)
     ye = _vec(ye_ref, n)
     yc = _vec_obj(_vec(yc_ref, n))
+    zlx = _vec(zlx_ref, n)
+    zlu = _vec(zlu_ref, m)
+    zux = _vec(zux_ref, n)
+    zuu = _vec(zuu_ref, m)
 
     gx_n = _as_vec(_calls(spec.ncost_grad, xp, _TH0, ei)[0])
     ge = _calls(spec.ecost_grad, xp, ue, _TH0, ei)
@@ -521,18 +531,66 @@ def _eval_kernel(spec: FusedIterSpec,
 
     @pl.when(e == 0)
     def _():
-        f_scr[0] = jnp.zeros_like(f_scr[0])
+        zero = jnp.zeros_like(f_scr[0])
+        f_scr[0] = zero
+        r_scr[0] = zero                       # max |stat|
+        r_scr[1] = zero                       # max |c_dyn|
+        r_scr[2] = zero + jnp.inf             # min d*z (lower bounds)
+        r_scr[3] = zero - jnp.inf             # max d*z (lower bounds)
+        r_scr[4] = zero + jnp.inf             # min d*z (upper bounds)
+        r_scr[5] = zero - jnp.inf             # max d*z (upper bounds)
 
     f_scr[0] = f_scr[0] + _t(f_e)
     f_out[0, 0, 0] = f_scr[0]
 
+    stat_mx = r_scr[0]
+    cd_mx = r_scr[1]
     for i in range(n):
-        gx_out[0, 0, i] = _t(gx_n[i] + gex[i])
-        ctx_out[0, 0, i] = _t(aty[i] - ye[i])
-        cd_out[0, 0, i] = _t(pred[i] - xc[i])
+        gx_i = _t(gx_n[i] + gex[i])
+        ctx_i = _t(aty[i] - ye[i])
+        cd_i = _t(pred[i] - xc[i])
+        gx_out[0, 0, i] = gx_i
+        ctx_out[0, 0, i] = ctx_i
+        cd_out[0, 0, i] = cd_i
+        stat_mx = jnp.maximum(stat_mx,
+                              jnp.abs(gx_i + ctx_i + zux[i] - zlx[i]))
+        cd_mx = jnp.maximum(cd_mx, jnp.abs(cd_i))
     for i in range(m):
-        gu_out[0, 0, i] = _t(geu[i])
-        ctu_out[0, 0, i] = _t(bty[i])
+        gu_i = _t(geu[i])
+        ctu_i = _t(bty[i])
+        gu_out[0, 0, i] = gu_i
+        ctu_out[0, 0, i] = ctu_i
+        stat_mx = jnp.maximum(stat_mx,
+                              jnp.abs(gu_i + ctu_i + zuu[i] - zlu[i]))
+    r_scr[0] = stat_mx
+    r_scr[1] = cd_mx
+
+    # bound complementarity d*z over the finite-bound entries of this
+    # stage's state (node e) and control (edge e)
+    cl_mn, cl_mx = r_scr[2], r_scr[3]
+    cu_mn, cu_mx = r_scr[4], r_scr[5]
+    xp_t = [_t(v) for v in _as_vec(xp)]
+    ue_t = [_t(v) for v in _as_vec(ue)]
+    # bounds enter as PYTHON floats (weak-typed) so x64 test envs do not
+    # promote the f32 tiles
+    for j in range(n):
+        if np.isfinite(lb_x[j]):
+            v = (xp_t[j] - float(lb_x[j])) * zlx[j]
+            cl_mn, cl_mx = jnp.minimum(cl_mn, v), jnp.maximum(cl_mx, v)
+        if np.isfinite(ub_x[j]):
+            v = (float(ub_x[j]) - xp_t[j]) * zux[j]
+            cu_mn, cu_mx = jnp.minimum(cu_mn, v), jnp.maximum(cu_mx, v)
+    for j in range(m):
+        if np.isfinite(lb_u[j]):
+            v = (ue_t[j] - float(lb_u[j])) * zlu[j]
+            cl_mn, cl_mx = jnp.minimum(cl_mn, v), jnp.maximum(cl_mx, v)
+        if np.isfinite(ub_u[j]):
+            v = (float(ub_u[j]) - ue_t[j]) * zuu[j]
+            cu_mn, cu_mx = jnp.minimum(cu_mn, v), jnp.maximum(cu_mx, v)
+    r_scr[2], r_scr[3] = cl_mn, cl_mx
+    r_scr[4], r_scr[5] = cu_mn, cu_mx
+    for i in range(6):
+        res_out[0, 0, i] = r_scr[i]
 
 
 # ---------------------------------------------------------------------------
@@ -760,11 +818,14 @@ def _unvec_flag(flag, bb):
     return flag.reshape(bb, _SUB, _LANE)
 
 
-def _eval_batched(spec: FusedIterSpec, x, u, y, x0, interpret=False):
+def _eval_batched(spec: FusedIterSpec, bounds, x, u, y, x0, zlx, zlu,
+                  zux, zuu, interpret=False):
     """Batched kernel E + the tiny terminal/root XLA pieces.
 
     Returns (f [B], gx [B,N,n], gu [B,E,m], ctx [B,N,n], ctu [B,E,m],
-    cdyn [B,N,n])."""
+    cdyn [B,N,n], res [B,6]) where res packs the KKT-residual reductions
+    [max|stat|, max|c|, min/max d*z (lower), min/max d*z (upper)]."""
+    lb_u, ub_u, lb_x, ub_x = bounds
     T, n, m = spec.horizon, spec.n, spec.m
     B = x.shape[0]
     dtype = jnp.float32
@@ -775,37 +836,47 @@ def _eval_batched(spec: FusedIterSpec, x, u, y, x0, interpret=False):
             return jnp.concatenate(
                 [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
         x, u, y, x0 = map(pz, (x, u, y, x0))
+        zlx, zlu, zux, zuu = map(pz, (zlx, zlu, zux, zuu))
     Bp = B + pad
     bb = Bp // _BLK
 
     xt = _stiles(x, n)
     ut = _stiles(u, m)
     yt = _stiles(y, n)
+    zlxt = _stiles(zlx, n)
+    zlut = _stiles(zlu, m)
+    zuxt = _stiles(zux, n)
+    zuut = _stiles(zuu, m)
 
-    gx_t, gu_t, ctx_t, ctu_t, cd_t, f_t = pl.pallas_call(
-        functools.partial(_eval_kernel, spec),
+    gx_t, gu_t, ctx_t, ctu_t, cd_t, f_t, res_t = pl.pallas_call(
+        functools.partial(_eval_kernel, spec, lb_u, ub_u, lb_x, ub_x),
         grid=(bb, T),
         in_specs=[_edge_fwd_spec(n), _child_fwd_spec(n), _edge_fwd_spec(m),
-                  _edge_fwd_spec(n), _child_fwd_spec(n)],
+                  _edge_fwd_spec(n), _child_fwd_spec(n),
+                  _edge_fwd_spec(n), _edge_fwd_spec(m),
+                  _edge_fwd_spec(n), _edge_fwd_spec(m)],
         out_specs=[_edge_fwd_spec(n), _edge_fwd_spec(m), _edge_fwd_spec(n),
-                   _edge_fwd_spec(m), _edge_fwd_spec(n), _const_spec(1)],
+                   _edge_fwd_spec(m), _edge_fwd_spec(n), _const_spec(1),
+                   _const_spec(6)],
         out_shape=[_edge_shape(bb, T, n, dtype),
                    _edge_shape(bb, T, m, dtype),
                    _edge_shape(bb, T, n, dtype),
                    _edge_shape(bb, T, m, dtype),
                    _edge_shape(bb, T, n, dtype),
-                   _edge_shape(bb, 1, 1, dtype)],
-        scratch_shapes=[pltpu.VMEM((1, _SUB, _LANE), dtype)],
+                   _edge_shape(bb, 1, 1, dtype),
+                   _edge_shape(bb, 1, 6, dtype)],
+        scratch_shapes=[pltpu.VMEM((1, _SUB, _LANE), dtype),
+                        pltpu.VMEM((6, _SUB, _LANE), dtype)],
         interpret=interpret,
-    )(xt, xt, ut, yt, yt)
+    )(xt, xt, ut, yt, yt, zlxt, zlut, zuxt, zuut)
 
     # terminal node + root row, tiny [B, n] XLA ops on the originals
     th0 = jnp.zeros((0,), dtype)
     Ti = jnp.asarray(T, jnp.int32)
     xT = x[:, T]
     gT = jax.vmap(lambda xv: jax.grad(spec.ncost_orig, argnums=0)(
-        xv, th0, Ti))(xT)
-    fT = jax.vmap(lambda xv: spec.ncost_orig(xv, th0, Ti))(xT)
+        xv, th0, Ti))(xT).astype(dtype)
+    fT = jax.vmap(lambda xv: spec.ncost_orig(xv, th0, Ti))(xT).astype(dtype)
 
     f = _vuntiles(f_t[:, 0])[:, 0] + fT
     gx = jnp.concatenate([_untile_edges(gx_t, n), gT[:, None]], axis=1)
@@ -815,10 +886,29 @@ def _eval_batched(spec: FusedIterSpec, x, u, y, x0, interpret=False):
                             _untile_edges(cd_t, n)], axis=1)
     gu = _untile_edges(gu_t, m)
     ctu = _untile_edges(ctu_t, m)
+
+    # merge the terminal node's rows into the kernel's reductions
+    res = _vuntiles(res_t[:, 0])                         # [Bp, 6]
+    statT = gT - y[:, T] + zux[:, T] - zlx[:, T]
+    stat_mx = jnp.maximum(res[:, 0], jnp.max(jnp.abs(statT), axis=-1))
+    cd_mx = jnp.maximum(res[:, 1],
+                        jnp.max(jnp.abs(x0 - x[:, 0]), axis=-1))
+    cl_mn, cl_mx = res[:, 2], res[:, 3]
+    cu_mn, cu_mx = res[:, 4], res[:, 5]
+    for j in range(n):
+        if np.isfinite(lb_x[j]):
+            v = (xT[:, j] - float(lb_x[j])) * zlx[:, T, j]
+            cl_mn, cl_mx = jnp.minimum(cl_mn, v), jnp.maximum(cl_mx, v)
+        if np.isfinite(ub_x[j]):
+            v = (float(ub_x[j]) - xT[:, j]) * zux[:, T, j]
+            cu_mn, cu_mx = jnp.minimum(cu_mn, v), jnp.maximum(cu_mx, v)
+    res = jnp.stack([stat_mx, cd_mx, cl_mn, cl_mx, cu_mn, cu_mx],
+                    axis=-1).astype(dtype)
+
     if pad:
         f, gx, gu = f[:B], gx[:B], gu[:B]
-        ctx, ctu, cdyn = ctx[:B], ctu[:B], cdyn[:B]
-    return f, gx, gu, ctx, ctu, cdyn
+        ctx, ctu, cdyn, res = ctx[:B], ctu[:B], cdyn[:B], res[:B]
+    return f, gx, gu, ctx, ctu, cdyn, res
 
 
 # ---------------------------------------------------------------------------
@@ -826,9 +916,12 @@ def _eval_batched(spec: FusedIterSpec, x, u, y, x0, interpret=False):
 # the parity oracle for the kernels)
 # ---------------------------------------------------------------------------
 
-def _eval_reference(spec: FusedIterSpec, x, u, y, x0):
+def _eval_reference(spec: FusedIterSpec, bounds, x, u, y, x0,
+                    zlx, zlu, zux, zuu):
     """Per-scenario pure-JAX equivalent of kernel E (same math as
-    model.py's eval path restricted to the unconstrained chain)."""
+    model.py's eval path restricted to the unconstrained chain),
+    including the packed KKT-residual reductions."""
+    lb_u, ub_u, lb_x, ub_x = bounds
     T, n, m = spec.horizon, spec.n, spec.m
     th0 = jnp.zeros((0,), x.dtype)
     ts = jnp.arange(T)
@@ -854,7 +947,33 @@ def _eval_reference(spec: FusedIterSpec, x, u, y, x0):
     ctx = jnp.concatenate([vjp[0], jnp.zeros((1, n), x.dtype)],
                           axis=0) - y
     ctu = vjp[1]
-    return f, gx, gu, ctx, ctu, cdyn
+
+    stat_mx = jnp.maximum(
+        jnp.max(jnp.abs(gx + ctx + zux - zlx), initial=0.0),
+        jnp.max(jnp.abs(gu + ctu + zuu - zlu), initial=0.0))
+    cd_mx = jnp.max(jnp.abs(cdyn), initial=0.0)
+    inf = jnp.asarray(jnp.inf, x.dtype)
+    cl_mn, cl_mx, cu_mn, cu_mx = inf, -inf, inf, -inf
+    for j in range(n):
+        if np.isfinite(lb_x[j]):
+            v = (x[:, j] - lb_x[j]) * zlx[:, j]
+            cl_mn = jnp.minimum(cl_mn, jnp.min(v))
+            cl_mx = jnp.maximum(cl_mx, jnp.max(v))
+        if np.isfinite(ub_x[j]):
+            v = (ub_x[j] - x[:, j]) * zux[:, j]
+            cu_mn = jnp.minimum(cu_mn, jnp.min(v))
+            cu_mx = jnp.maximum(cu_mx, jnp.max(v))
+    for j in range(m):
+        if np.isfinite(lb_u[j]):
+            v = (u[:, j] - lb_u[j]) * zlu[:, j]
+            cl_mn = jnp.minimum(cl_mn, jnp.min(v))
+            cl_mx = jnp.maximum(cl_mx, jnp.max(v))
+        if np.isfinite(ub_u[j]):
+            v = (ub_u[j] - u[:, j]) * zuu[:, j]
+            cu_mn = jnp.minimum(cu_mn, jnp.min(v))
+            cu_mx = jnp.maximum(cu_mx, jnp.max(v))
+    res = jnp.stack([stat_mx, cd_mx, cl_mn, cl_mx, cu_mn, cu_mx])
+    return f, gx, gu, ctx, ctu, cdyn, res.astype(x.dtype)
 
 
 def _stage_lqr_data(spec: FusedIterSpec, x, u, y, r1x, r1u, delta, q, r, c):
@@ -908,23 +1027,25 @@ def _factor_solve_reference(spec: FusedIterSpec, x, u, y, r1x, r1u, delta,
 # custom_vmap entry points
 # ---------------------------------------------------------------------------
 
-def make_fused_eval(spec: FusedIterSpec):
+def make_fused_eval(spec: FusedIterSpec, bounds):
     @custom_vmap
-    def fused_eval(x, u, y, x0):
-        return _eval_reference(spec, x, u, y, x0)
+    def fused_eval(x, u, y, x0, zlx, zlu, zux, zuu):
+        return _eval_reference(spec, bounds, x, u, y, x0, zlx, zlu,
+                               zux, zuu)
 
     @fused_eval.def_vmap
-    def _rule(axis_size, in_batched, x, u, y, x0):
+    def _rule(axis_size, in_batched, *args):
         def bcast(a, b):
             return a if b else jnp.broadcast_to(a, (axis_size,) + a.shape)
-        x, u, y, x0 = map(bcast, (x, u, y, x0), in_batched)
-        if x.dtype != jnp.float32 or axis_size < 2 or not _use_kernels():
-            out = jax.vmap(lambda *a: _eval_reference(spec, *a))(x, u, y,
-                                                                 x0)
+        args = tuple(map(bcast, args, in_batched))
+        if (args[0].dtype != jnp.float32 or axis_size < 2
+                or not _use_kernels()):
+            out = jax.vmap(
+                lambda *a: _eval_reference(spec, bounds, *a))(*args)
         else:
-            out = _eval_batched(spec, x, u, y, x0,
+            out = _eval_batched(spec, bounds, *args,
                                 interpret=_interpret())
-        return out, (True,) * 6
+        return out, (True,) * 7
 
     return fused_eval
 

@@ -53,6 +53,8 @@ class _VecEval(NamedTuple):
     ctx: jax.Array     # [N, n] C^T y rows (dual dynamics products)
     ctu: jax.Array     # [E, m]
     cdyn: jax.Array    # [N, n] equality residuals (root row at node 0)
+    res: jax.Array     # [6] packed KKT reductions: max|stat|, max|c|,
+                       #     min/max d*z (lower), min/max d*z (upper)
 
 
 class _FState(NamedTuple):
@@ -109,7 +111,7 @@ def solve_fused(problem: OCProblem, settings: Settings,
     fspec, fbounds, fused_x0 = problem.fused_ls
     ls = settings.line_search
 
-    fused_eval = make_fused_eval(ispec)
+    fused_eval = make_fused_eval(ispec, _ibounds)
     fused_factor_solve = make_fused_factor_solve(ispec)
     fused_probe_fn = make_fused_probe(fspec, fbounds)
 
@@ -146,8 +148,9 @@ def solve_fused(problem: OCProblem, settings: Settings,
     vars0 = _tmap(push, init_vars, lower, upper, has_lb, has_ub)
     y0 = init_y.dyn if init_y is not None else jnp.zeros((N, n), dtype)
 
-    ev0 = _VecEval(*fused_eval(vars0.x, vars0.u, y0, x0))
-    vzero = jnp.zeros_like(ev0.f)
+    # a zero derived from traced data (keeps carries device-varying
+    # under shard_map; cf. sip.py's vzero note)
+    vzero = jnp.sum(vars0.x) * 0.0
     mu0 = jnp.asarray(settings.mu_init, dtype) + vzero
     kappa_s = settings.kappa_sigma
 
@@ -167,26 +170,29 @@ def solve_fused(problem: OCProblem, settings: Settings,
     sd_, se_, sb_ = (problem.scale_dual, problem.scale_equality,
                      problem.scale_bound)
 
-    # ----- residuals -------------------------------------------------------
-    def kkt_err(vars, zl, zu, ev: _VecEval):
-        stat = Primal(x=ev.gx + ev.ctx + zu.x - zl.x,
-                      u=ev.gu + ev.ctu + zu.u - zl.u,
-                      theta=vars.theta * 0)
-        dl, du = dist_l(vars), dist_u(vars)
+    def eval_at(vars, y, zl, zu):
+        return _VecEval(*fused_eval(vars.x, vars.u, y, x0,
+                                    zl.x, zl.u, zu.x, zu.u))
+
+    # ----- residuals (from kernel E's packed reductions) -------------------
+    # ev.res = [max|stat|, max|c|, min/max d*zl, min/max d*zu]; the
+    # bound-complementarity inf-norm at ANY barrier value m follows from
+    # the min/max pair: max_i |v_i - m| = max(vmax - m, m - vmin), with
+    # the standard path's masked-entry zero floor
+    def kkt_err(ev: _VecEval):
+        r = ev.res
 
         def err(m_mu):
-            cl = _tmap(lambda d, l, h: jnp.where(h, d * l - m_mu, 0.0),
-                       dl, zl, has_lb)
-            cu = _tmap(lambda d, u_, h: jnp.where(h, d * u_ - m_mu, 0.0),
-                       du, zu, has_ub)
+            comp = jnp.maximum(jnp.maximum(
+                jnp.maximum(r[3] - m_mu, m_mu - r[2]),
+                jnp.maximum(r[5] - m_mu, m_mu - r[4])), 0.0)
             return jnp.max(jnp.stack([
-                sd_ * _tinf(stat),
-                se_ * jnp.max(jnp.abs(ev.cdyn), initial=0.0),
-                sb_ * jnp.maximum(_tinf(cl), _tinf(cu))]))
+                sd_ * r[0], se_ * r[1], sb_ * comp]))
 
         return err
 
-    err0 = kkt_err(vars0, zl0, zu0, ev0)(0.0)
+    ev0 = eval_at(vars0, y0, zl0, zu0)
+    err0 = kkt_err(ev0)(0.0)
     status_init = jnp.where(
         err0 <= settings.tol, jnp.int32(SIPStatus.SOLVED),
         jnp.where(~jnp.isfinite(err0) | (err0 > settings.diverged_kkt),
@@ -217,7 +223,7 @@ def solve_fused(problem: OCProblem, settings: Settings,
     # ----- one IPM iteration ----------------------------------------------
     def body(st: _FState) -> _FState:
         vars, y, zl, zu, mu, ev = st.vars, st.y, st.zl, st.zu, st.mu, st.ev
-        err_fn = kkt_err(vars, zl, zu, ev)
+        err_fn = kkt_err(ev)
         e_mu = err_fn(mu)
         shrink = e_mu <= settings.kappa_eps * mu
         mu = jnp.where(
@@ -422,9 +428,9 @@ def solve_fused(problem: OCProblem, settings: Settings,
                      zu, dzu, has_ub)
 
         it_n = st.it + 1
-        ev_n = _VecEval(*fused_eval(vars_n.x, vars_n.u, y_n, x0))
+        ev_n = eval_at(vars_n, y_n, zl_n, zu_n)
         ev_n = jax.tree.map(lambda a: a + vzero.astype(a.dtype), ev_n)
-        e_new = kkt_err(vars_n, zl_n, zu_n, ev_n)(0.0)
+        e_new = kkt_err(ev_n)(0.0)
         blew_up = ~jnp.isfinite(e_new) | (e_new > settings.diverged_kkt)
         gave_up = factor_failed & (st.reg_boost >= settings.reg_boost_max)
         stalled = consec_rej_n >= settings.max_consecutive_rejections

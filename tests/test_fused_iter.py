@@ -44,18 +44,33 @@ def test_eval_kernel_matches_reference():
     for model, mode in ((cartpole_swingup, "gauss_newton"),
                         (planar_quadrotor, "exact")):
         T = 6
-        spec, n, m = _spec_for(model, T, mode)
+        spec_m, dims, topo, lower, upper, _x0 = model(horizon=T)
+        n, m = dims.max_state_dim, dims.max_control_dim
+        spec = FI.build_fused_iter_spec(
+            spec_m.dynamics, spec_m.node_cost, spec_m.edge_cost, T, n, m,
+            mode)
         assert spec is not None, model.__name__
+        bounds = (np.asarray(lower.u)[0], np.asarray(upper.u)[0],
+                  np.asarray(lower.x)[0], np.asarray(upper.x)[0])
         B = 8
+        f32 = np.float32
         x, u, y = _rand_iterates(rng, B, T, n, m)
-        x0 = jnp.asarray(rng.standard_normal((B, n)), np.float32)
-        out_k = FI._eval_batched(spec, x, u, y, x0, interpret=True)
-        out_r = jax.vmap(lambda *a: FI._eval_reference(spec, *a))(
-            x, u, y, x0)
-        for name, a, b in zip(("f", "gx", "gu", "ctx", "ctu", "cdyn"),
-                              out_k, out_r):
+        x0 = jnp.asarray(rng.standard_normal((B, n)), f32)
+        zlx = jnp.asarray(rng.random((B, T + 1, n)), f32)
+        zlu = jnp.asarray(rng.random((B, T, m)), f32)
+        zux = jnp.asarray(rng.random((B, T + 1, n)), f32)
+        zuu = jnp.asarray(rng.random((B, T, m)), f32)
+        out_k = FI._eval_batched(spec, bounds, x, u, y, x0, zlx, zlu,
+                                 zux, zuu, interpret=True)
+        out_r = jax.vmap(lambda *a: FI._eval_reference(
+            spec, bounds, *a))(x, u, y, x0, zlx, zlu, zux, zuu)
+        for name, a, b in zip(("f", "gx", "gu", "ctx", "ctu", "cdyn",
+                               "res"), out_k, out_r):
             a, b = np.asarray(a), np.asarray(b)
-            err = np.max(np.abs(a - b) / (1.0 + np.abs(b)))
+            fin = np.isfinite(b)
+            assert np.array_equal(np.isfinite(a), fin), (name,)
+            err = np.max(np.abs(a[fin] - b[fin]) / (1.0 + np.abs(b[fin])),
+                         initial=0.0)
             assert err < 2e-5, (model.__name__, name, err)
 
 
