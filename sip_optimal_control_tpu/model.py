@@ -332,6 +332,27 @@ def build_problem(spec: ModelSpec, dims: Dimensions, topology: Topology,
     # trace-time scalars).  Traced (non-concrete) bounds -> ineligible.
     fused_ls = None
     fused_iter = None
+    if (not topology.is_chain and uniform and p == 0
+            and spec.node_eq is None and spec.node_ineq is None
+            and spec.edge_eq is None and spec.edge_ineq is None
+            and cn == 0 and ce == 0 and gn == 0 and ge == 0):
+        # TREE topologies: the fused line-search probe generalizes via
+        # per-stage baked-index jaxprs (ops/pallas_ls.py::TreeLSSpec);
+        # same stage-constant-bounds requirement as the chain path
+        try:
+            lo_u, up_u = np.asarray(lower.u), np.asarray(upper.u)
+            lo_x, up_x = np.asarray(lower.x), np.asarray(upper.x)
+        except Exception:
+            lo_u = None
+        if lo_u is not None and all(
+                np.all(a == a[:1]) for a in (lo_u, up_u, lo_x, up_x)):
+            from .ops.pallas_ls import build_fused_tree_spec
+            tspec = build_fused_tree_spec(spec.dynamics, node_cost,
+                                          edge_cost, topology, n, m)
+            if tspec is not None:
+                fused_ls = (tspec,
+                            (lo_u[0], up_u[0], lo_x[0], up_x[0]),
+                            initial_state)
     if (topology.is_chain and uniform and p == 0
             and spec.node_eq is None and spec.node_ineq is None
             and spec.edge_eq is None and spec.edge_ineq is None

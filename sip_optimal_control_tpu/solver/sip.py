@@ -514,8 +514,7 @@ def _solve_impl(problem: OCProblem, settings: Settings,
     fused_probe_fn = None
     fused_x0 = None
     if (ls.fused_probe and problem.fused_ls is not None
-            and not coupled
-            and sched.topology.is_chain and dtype == jnp.float32):
+            and not coupled and dtype == jnp.float32):
         from ..ops.pallas_ls import make_fused_probe
         _fspec, _fbounds, fused_x0 = problem.fused_ls
         fused_probe_fn = make_fused_probe(_fspec, _fbounds)

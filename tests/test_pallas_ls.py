@@ -83,16 +83,19 @@ def test_probe_handles_nonuniform_batch_padding():
 
 
 def test_eligibility_gate():
-    """Trees and constraint-bearing models are ineligible; the chain
-    models are eligible."""
+    """Constraint-bearing models are ineligible; chain models get the
+    chain spec, trees the per-stage baked-index tree spec (r5)."""
     from sip_optimal_control_tpu import Dimensions, ModelSpec, Topology
+    from sip_optimal_control_tpu.ops.pallas_ls import TreeLSSpec
 
-    # tree -> ineligible
+    # tree -> eligible via TreeLSSpec (stage fns index closures by i,
+    # which the baked-index tracing folds away)
     spec, dims, topo, lower, upper, x0 = robust_scenario_tree(
         t_shared=1, n_branches=2, t_branch=2)
     prob = build_problem(spec, dims, topo, initial_state=x0,
                          lower=lower, upper=upper)
-    assert prob.fused_ls is None
+    assert prob.fused_ls is not None
+    assert isinstance(prob.fused_ls[0], TreeLSSpec)
 
     # inequality constraints -> ineligible
     dims2 = Dimensions(theta_dim=0, state_dims=(1, 1), control_dims=(1,),
@@ -176,3 +179,30 @@ def test_e2e_fused_probe_matches_standard_f32():
                             env=env, cwd=repo)
     assert result.returncode == 0, result.stderr[-2000:]
     assert "E2E-PARITY-OK" in result.stdout
+
+
+def test_tree_probe_kernel_matches_reference():
+    """Tree-topology probe kernel (baked-index per-stage jaxprs, static
+    parent/child unrolling) vs the pure-JAX tree reference on the robust
+    scenario tree."""
+    from sip_optimal_control_tpu.ops.pallas_ls import (
+        _probe_pallas_batched_tree, _probe_reference_tree)
+
+    spec, dims, topo, lower, upper, x0 = robust_scenario_tree(
+        t_shared=2, n_branches=3, t_branch=3)
+    prob = build_problem(spec, dims, topo, initial_state=x0,
+                         lower=lower, upper=upper)
+    tspec, tbounds, _ = prob.fused_ls
+    rng = np.random.default_rng(3)
+    args = _random_probe_inputs(rng, dims, B=8, chunk=5)
+    out_k = _probe_pallas_batched_tree(tspec, tbounds, *args,
+                                       interpret=True)
+    out_r = jax.vmap(lambda *a: _probe_reference_tree(
+        tspec, tbounds, *a))(*args)
+    for name, a, b in zip(("f", "theta", "logb"), out_k, out_r):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.array_equal(np.isneginf(a), np.isneginf(b)), name
+        fin = np.isfinite(b)
+        err = np.max(np.abs(a[fin] - b[fin]) / (1.0 + np.abs(b[fin])),
+                     initial=0.0)
+        assert err < 2e-5, (name, err)
