@@ -218,10 +218,9 @@ def _store_v(ref, vec):
 # ---------------------------------------------------------------------------
 
 from .pallas_riccati import (_add, _chol, _cho_solve_mat, _cho_solve_vec,  # noqa: E402
-                             _mat, _matmul, _matvec, _store, _store_vec,
-                             _transpose, _tri_solve_mat, _tri_solve_vec,
-                             _vec)
-from .pallas_ls import _to_tiles as _vtiles, _from_tiles as _vuntiles  # noqa: E402
+                             _mat, _matmul, _matvec, _transpose,
+                             _tri_solve_mat, _vec)
+from .pallas_ls import _from_tiles as _vuntiles  # noqa: E402
 from .pallas_riccati import _to_tiles as _stiles  # noqa: E402  [B,S,rows] form
 
 

@@ -120,7 +120,6 @@ def build_fused_tree_spec(dynamics, node_cost, edge_cost, topology, n, m):
     cost / edge cost / edge dynamics with the index baked as a literal.
     Returns None when ineligible (traced closure consts or unsupported
     primitives)."""
-    from ..types import Topology  # noqa: F401  (doc anchor)
     th0 = jnp.zeros((0,), jnp.float32)
     ex_x = jnp.zeros((n,), jnp.float32)
     ex_u = jnp.zeros((m,), jnp.float32)

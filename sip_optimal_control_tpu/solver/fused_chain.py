@@ -29,7 +29,6 @@ Settings.fused_iteration is set and the problem/settings are eligible
 
 from __future__ import annotations
 
-import dataclasses
 from typing import NamedTuple
 
 import jax
