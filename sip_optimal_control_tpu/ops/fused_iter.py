@@ -218,8 +218,8 @@ def _store_v(ref, vec):
 # ---------------------------------------------------------------------------
 
 from .pallas_riccati import (_add, _chol, _cho_solve_mat, _cho_solve_vec,  # noqa: E402
-                             _mat, _matmul, _matvec, _transpose,
-                             _tri_solve_mat, _vec)
+                             _gram_core, _mat, _matmul, _matvec,
+                             _transpose, _vec)
 from .pallas_ls import _from_tiles as _vuntiles  # noqa: E402
 from .pallas_riccati import _to_tiles as _stiles  # noqa: E402  [B,S,rows] form
 
@@ -292,38 +292,12 @@ def _factor_kernel(spec: FusedIterSpec,
     Lf = _chol(F)
 
     if n >= _GRAM_N:
-        # Gram form (see ops/pallas_riccati.py:183-195): never builds
-        # F_inv/W/WA; symmetric outputs from the upper triangle
+        # Gram form: the shared edge step in ops/pallas_riccati.py
+        # (_gram_core — never builds F_inv/W/WA; symmetrized triangular
+        # reads); the IPM's uniform scalar delta broadcasts to the
+        # per-row scaling list
         sdi = jax.lax.rsqrt(d)
-        Ah = [[sdi * A[i][j] for j in range(n)] for i in range(n)]
-        Bh = [[sdi * B[i][j] for j in range(m)] for i in range(n)]
-        Za = _tri_solve_mat(Lf, Ah, False)
-        Zb = _tri_solve_mat(Lf, Bh, False)
-        G = [[None] * m for _ in range(m)]
-        for i in range(m):
-            for j in range(i, m):
-                s = R[i][j] if i == j else 0.5 * (R[i][j] + R[j][i])
-                for k in range(n):
-                    s = s + Bh[k][i] * Bh[k][j] - Zb[k][i] * Zb[k][j]
-                G[i][j] = s
-                G[j][i] = s
-        Lg = _chol(G)
-        H = [[M[j][i] + functools.reduce(
-            lambda p, q: p + q,
-            [Bh[k][i] * Ah[k][j] - Zb[k][i] * Za[k][j] for k in range(n)])
-            for j in range(n)] for i in range(m)]
-        Kneg = _cho_solve_mat(Lg, H)
-        K = [[-Kneg[i][j] for j in range(n)] for i in range(m)]
-        Vp = [[None] * n for _ in range(n)]
-        for i in range(n):
-            for j in range(i, n):
-                s = Qp[i][j] if i == j else 0.5 * (Qp[i][j] + Qp[j][i])
-                for k in range(n):
-                    s = s + Ah[k][i] * Ah[k][j] - Za[k][i] * Za[k][j]
-                for k in range(m):
-                    s = s + K[k][i] * H[k][j]
-                Vp[i][j] = s
-                Vp[j][i] = s
+        Lg, K, Vp = _gram_core(Lf, A, B, M, R, Qp, [sdi] * n, n, m)
     else:
         eye = [[one if i == j else zero for j in range(n)]
                for i in range(n)]

@@ -195,6 +195,49 @@ def _factor_kernel(n, m, T,
 _GRAM_N = 8
 
 
+def _gram_core(Lf, A, B, M, R, Qp, sdi, n, m):
+    """The shared Gram-form Riccati edge step (see the note above):
+    given the child F Cholesky and per-row delta^{-1/2} scalings, produce
+    (Lg, K, Vp) with symmetrized reads of R and Qp (ADVICE r4).  Used by
+    both the standalone factor kernel below and the fused whole-iteration
+    kernel (ops/fused_iter.py) so the algebra cannot diverge."""
+    Ah = [[sdi[i] * A[i][j] for j in range(n)] for i in range(n)]
+    Bh = [[sdi[i] * B[i][j] for j in range(m)] for i in range(n)]
+    Za = _tri_solve_mat(Lf, Ah, False)
+    Zb = _tri_solve_mat(Lf, Bh, False)
+    G = [[None] * m for _ in range(m)]
+    for i in range(m):
+        for j in range(i, m):
+            # symmetrized read: the kernel computes only the upper
+            # triangle and mirrors it, so a numerically asymmetric user
+            # Hessian block must not silently diverge from the
+            # full-matrix backends (ADVICE r4)
+            s = R[i][j] if i == j else 0.5 * (R[i][j] + R[j][i])
+            for k in range(n):
+                s = s + Bh[k][i] * Bh[k][j] - Zb[k][i] * Zb[k][j]
+            G[i][j] = s
+            G[j][i] = s
+    Lg = _chol(G)
+    H = [[M[j][i] + functools.reduce(
+        lambda p, q: p + q,
+        [Bh[k][i] * Ah[k][j] - Zb[k][i] * Za[k][j] for k in range(n)])
+        for j in range(n)] for i in range(m)]
+    Kneg = _cho_solve_mat(Lg, H)
+    K = [[-Kneg[i][j] for j in range(n)] for i in range(m)]
+    Vp = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i, n):
+            # symmetrized read (see G above; ADVICE r4)
+            s = Qp[i][j] if i == j else 0.5 * (Qp[i][j] + Qp[j][i])
+            for k in range(n):
+                s = s + Ah[k][i] * Ah[k][j] - Za[k][i] * Za[k][j]
+            for k in range(m):
+                s = s + K[k][i] * H[k][j]
+            Vp[i][j] = s
+            Vp[j][i] = s
+    return Lg, K, Vp
+
+
 def _factor_kernel_gram(n, m, T,
                         q_par_ref, q_child_ref, delta_child_ref,
                         a_ref, b_ref, m_ref, r_ref,
@@ -221,44 +264,8 @@ def _factor_kernel_gram(n, m, T,
     B = _mat(b_ref, n, m)
     M = _mat(m_ref, n, m)
     R = _mat(r_ref, m, m)
-    Ah = [[sdi[i] * A[i][j] for j in range(n)] for i in range(n)]
-    Bh = [[sdi[i] * B[i][j] for j in range(m)] for i in range(n)]
-    Za = _tri_solve_mat(Lf, Ah, False)
-    Zb = _tri_solve_mat(Lf, Bh, False)
-
-    G = [[None] * m for _ in range(m)]
-    for i in range(m):
-        for j in range(i, m):
-            # symmetrized read: the kernel computes only the upper triangle
-            # and mirrors it, so a numerically asymmetric user Hessian block
-            # must not silently diverge from the full-matrix backends
-            # (ADVICE r4)
-            s = R[i][j] if i == j else 0.5 * (R[i][j] + R[j][i])
-            for k in range(n):
-                s = s + Bh[k][i] * Bh[k][j] - Zb[k][i] * Zb[k][j]
-            G[i][j] = s
-            G[j][i] = s
-    Lg = _chol(G)
-
-    H = [[M[j][i] + functools.reduce(
-        lambda p, q: p + q,
-        [Bh[k][i] * Ah[k][j] - Zb[k][i] * Za[k][j] for k in range(n)])
-        for j in range(n)] for i in range(m)]
-    Kneg = _cho_solve_mat(Lg, H)
-    K = [[-Kneg[i][j] for j in range(n)] for i in range(m)]
-
     Qp = _mat(q_par_ref, n, n)
-    Vp = [[None] * n for _ in range(n)]
-    for i in range(n):
-        for j in range(i, n):
-            # symmetrized read (see G above; ADVICE r4)
-            s = Qp[i][j] if i == j else 0.5 * (Qp[i][j] + Qp[j][i])
-            for k in range(n):
-                s = s + Ah[k][i] * Ah[k][j] - Za[k][i] * Za[k][j]
-            for k in range(m):
-                s = s + K[k][i] * H[k][j]
-            Vp[i][j] = s
-            Vp[j][i] = s
+    Lg, K, Vp = _gram_core(Lf, A, B, M, R, Qp, sdi, n, m)
 
     _store(v_out_ref, Vp)
     _store(k_out_ref, K)

@@ -40,7 +40,7 @@ from ..ops.fused_iter import make_fused_eval, make_fused_factor_solve
 from ..ops.pallas_ls import make_fused_probe
 from .settings import Settings, SIPStatus
 from .sip import (OCProblem, Primal, SolveResult, YVec, ZVec, _EPS, _tdot,
-                  _tinf, _tmap, _tsum)
+                  _tmap, _tsum)
 
 
 class _VecEval(NamedTuple):
@@ -83,6 +83,10 @@ def _eligible(problem: OCProblem, settings: Settings, coupled) -> bool:
     return (settings.fused_iteration
             and problem.fused_iter is not None
             and problem.fused_ls is not None
+            # the fused iteration's line search IS the fused probe; a
+            # user disabling it (e.g. to A/B against the standard probe)
+            # gets the standard solver path, which honors the flag
+            and settings.line_search.fused_probe
             and not coupled
             and jnp.result_type(float) == jnp.float32
             and settings.iterative_refinement_steps == 0

@@ -353,7 +353,14 @@ def solve(problem: OCProblem, settings: Settings,
     mathematically identical to a single-device solve of the equivalent
     star tree; the stagewise factorizations stay lane-local.  Requires
     unbounded theta (box bounds on theta would add lane-replicated
-    barrier terms this mode does not de-duplicate)."""
+    barrier terms this mode does not de-duplicate).
+
+    When a mesh axis is among coupled_axes, the surrounding shard_map
+    MUST be built with ``check_vma=False`` (jax 0.7's varying-axes
+    checker cannot type collectives over a vmap axis nested inside
+    shard_map; the collectives themselves are correct — see
+    tests/test_joint_theta.py).  ``parallel.solve_joint_theta`` does
+    this for you and is the recommended entry point."""
     if settings.fixed_iterations and settings.max_iterations < 1:
         # the degenerate 0-trip scan would skip the body entirely, where
         # the while_loop path always executes one trip (ADVICE r3)
@@ -411,9 +418,13 @@ def _solve_impl(problem: OCProblem, settings: Settings,
         except Exception:
             pass  # traced bounds: trust the caller
         def _fold(op):
-            # one collective per axis: mixing vmap axis names and mesh
-            # axis names in a single psum trips shard_map's varying-axes
-            # checker (jax 0.7)
+            # One collective per axis: a SINGLE psum over mixed vmap +
+            # mesh axis names is rejected outright by jax 0.7.  NOTE
+            # this fold alone is NOT sufficient under shard_map: the
+            # varying-axes checker still cannot type a collective over a
+            # vmap axis nested inside shard_map, so any shard_map around
+            # a coupled solve must pass check_vma=False (as
+            # parallel.solve_joint_theta does).
             def red(v):
                 for ax in coupled:
                     v = op(v, ax)
