@@ -163,19 +163,22 @@ wv = Primal(x=jnp.tile(x0s[:, None, :], (1, N, 1)),
 wy = YVec(dyn=jnp.zeros((B, N, n), jnp.float32),
           nc=jnp.zeros((B, N, 0), jnp.float32),
           ec=jnp.zeros((B, E, 0), jnp.float32))
-outs = {}
-for fused in (False, True):
-    step = bench.build_mpc_scan(spec, dims, topo, lower, upper,
-                                settings(fused), "gauss_newton",
-                                steps_per_call=3, noise=0.05, batch=B)
-    outs[fused] = jax.block_until_ready(step(x0s, wv, wy))
-# statuses identical; iterates within compounded f32 drift
-np.testing.assert_array_equal(np.asarray(outs[False][3]),
-                              np.asarray(outs[True][3]))
-for i, (a, b) in enumerate(zip(jax.tree.leaves(outs[False][:3]),
-                               jax.tree.leaves(outs[True][:3]))):
-    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                               rtol=2e-2, atol=2e-2, err_msg=str(i))
+for hess in ("gauss_newton", "exact"):
+    outs = {}
+    for fused in (False, True):
+        step = bench.build_mpc_scan(spec, dims, topo, lower, upper,
+                                    settings(fused), hess,
+                                    steps_per_call=3, noise=0.05, batch=B)
+        outs[fused] = jax.block_until_ready(step(x0s, wv, wy))
+    # statuses identical; iterates within compounded f32 drift
+    np.testing.assert_array_equal(np.asarray(outs[False][3]),
+                                  np.asarray(outs[True][3]),
+                                  err_msg=hess)
+    for i, (a, b) in enumerate(zip(jax.tree.leaves(outs[False][:3]),
+                                   jax.tree.leaves(outs[True][:3]))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-2, atol=2e-2,
+                                   err_msg=f"{hess}:{i}")
 print("FUSED-ITER-E2E-OK")
 """
 
