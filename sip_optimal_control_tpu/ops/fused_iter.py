@@ -690,7 +690,10 @@ def _factor_solve_batched(spec: FusedIterSpec, x, u, y, r1x, r1u, delta,
     # streams are stored lower-packed (n(n+1)/2 rows, ~45% less traffic
     # on the dominant chain16 streams); the solve kernels read them
     # through the packed accessor.
-    pack = n >= _GRAM_N
+    # n >= 6 measured: quadrotor +11% (913 -> 1017k), chain16 +15%;
+    # n = 4 (cartpole, not stream-bound) measured within run noise and
+    # keeps the full layout
+    pack = n >= 6
     nsym = (n * (n + 1)) // 2 if pack else n * n
     base_outs = [_edge_bwd_spec(nsym, T), _edge_bwd_spec(m * n, T),
                  _edge_bwd_spec(m * m, T), _edge_bwd_spec(nsym, T)]
