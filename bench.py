@@ -1197,6 +1197,16 @@ def main():
     if peak_bw > 0:
         record["pct_peak_hbm"] = round(
             100.0 * hw_iters * bpi / t_best / peak_bw, 2)
+        if record["pct_peak_hbm"] > 100.0:
+            # the analytic count gives NO fusion credit (full-matrix
+            # streams, A/B materialized); the fused kernels stream packed
+            # triangles and recompute A/B in-kernel at n >= 8, so real
+            # traffic sits below the analytic count and the ratio can
+            # legitimately exceed 100% — it is a roofline the kernels
+            # BEAT, not a measurement error
+            record["hbm_roofline_note"] = (
+                "above the no-fusion-credit analytic roof: fused kernels "
+                "stream packed triangles / recompute A,B in-kernel")
     if args.verbose:
         print(f"# backend={jax.default_backend()} "
               f"device={getattr(dev, 'device_kind', '?')} "
