@@ -965,12 +965,26 @@ def main():
         out = jax.block_until_ready(jfn(x0s))
         phases["compile_s"] = round(time.time() - t0, 1)
         times = []
-        for _ in range(args.reps):
-            t0 = time.time()
-            out = jax.block_until_ready(jfn(x0s))
-            times.append(time.time() - t0)
-            if time.time() - _T0 > args.time_budget and len(times) >= 2:
-                break
+        if args.pipeline:
+            # same completion-gap pipelining as the mpc timed loop
+            depth = max(2, min(args.reps, 8))
+            handles = [jfn(x0s) for _ in range(depth)]
+            t_prev = time.time()
+            gaps = []
+            for h in handles:
+                jax.block_until_ready(h)
+                now = time.time()
+                gaps.append(now - t_prev)
+                t_prev = now
+            out = handles[-1]
+            times = gaps[1:] if len(gaps) > 1 else gaps
+        else:
+            for _ in range(args.reps):
+                t0 = time.time()
+                out = jax.block_until_ready(jfn(x0s))
+                times.append(time.time() - t0)
+                if time.time() - _T0 > args.time_budget and len(times) >= 2:
+                    break
         statuses, iters, kkt = (np.asarray(out[1])[None],
                                 np.asarray(out[2])[None],
                                 np.asarray(out[3])[None])
@@ -1167,7 +1181,7 @@ def main():
         "hessian": args.hessian,
         "p50_batch_ms": round(float(np.median(times)) * 1e3, 2),
         **({"pipelined_dispatch": True} if (
-            args.pipeline and args.mode == "mpc") else {}),
+            args.pipeline and args.mode in ("mpc", "cold")) else {}),
         **({"final_state_rms": round(final_state_rms, 4)}
            if args.mode == "mpc" else {}),
         # analytic linear-algebra-core FLOPs (lower bound; model autodiff
