@@ -10,7 +10,7 @@ The scenarios live on vmap lanes (and mesh shards when a mesh is given):
 the theta Schur complement and every scalar coupling psum-reduce across
 them inside each interior-point iteration.
 
-Run: JAX_PLATFORMS=cpu JAX_ENABLE_X64=1 python examples/joint_theta_estimation.py
+Run: JAX_PLATFORMS=cpu python examples/joint_theta_estimation.py
 """
 
 import sys
@@ -20,6 +20,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np
 import jax
+
+# the example asks for tol=1e-10, which needs fp64 (f32 stalls at ~1e-6
+# and the SOLVED assertion below would fail)
+jax.config.update("jax_enable_x64", True)
 import jax.numpy as jnp
 
 import sip_optimal_control_tpu as soc
