@@ -739,14 +739,18 @@ def main():
                         "default 3); 0 skips the retry while_loop wrapper "
                         "entirely — failures become rejected steps with a "
                         "reg boost, retried next IPM iteration")
-    parser.add_argument("--filter-ls", type=int, default=1,
-                        help="1 (default): Waechter-Biegler filter line "
-                        "search (the reference's canonical settings enable "
-                        "it, tests/variable_dimensions_test.cpp:18-25) — "
-                        "measured strictly better convergence at equal "
-                        "speed (cartpole solved_frac 0.99 vs 0.84, and it "
-                        "unlocks the K=5 RTI budget: 337.4k vs 262.0k "
-                        "solves/s); 0: Armijo merit search")
+    parser.add_argument("--filter-ls", type=int, default=None,
+                        help="1: Waechter-Biegler filter line search "
+                        "(the reference's canonical settings enable it, "
+                        "tests/variable_dimensions_test.cpp:18-25); 0: "
+                        "Armijo merit search. Default is MODE-DEPENDENT: "
+                        "filter in fixed-trip RTI mode (strictly better "
+                        "acceptance under a truncation budget — cartpole "
+                        "solved_frac 0.99 vs 0.84, unlocks K=5: 337.4k vs "
+                        "262.0k), Armijo in --rti 0 while-loop mode (the "
+                        "filter's nonmonotone acceptance under persistent "
+                        "disturbance lets warm re-solves wander: solved "
+                        "0.55/diverged 0.10 vs Armijo 0.992/0.0)")
     parser.add_argument("--fused-ls", type=int, default=1,
                         help="1 (default): fused Pallas line-search probe "
                         "(ops/pallas_ls.py) when the model is eligible "
@@ -846,6 +850,13 @@ def main():
         args.rti = None         # RTI is a warm-re-solve (mpc-mode) concept
     if args.freeze_ev is None:
         args.freeze_ev = 0 if args.model == "robust_tree" else 1
+    if args.filter_ls is None:
+        # mode-dependent default (see --filter-ls help): Armijo for the
+        # convergence-tested warm re-solve loop (mpc --rti 0), filter LS
+        # everywhere else (RTI budgets, cold solves, scaling modes — all
+        # measured healthy with the filter)
+        args.filter_ls = 0 if (args.mode == "mpc"
+                               and args.rti is None) else 1
     f32 = dict(tol=args.tol, mu_min=1e-5, reg_floor=1e-5, prox_reg=1e-5,
                riccati_backend=args.backend,
                fused_iteration=bool(args.fused_iter),
